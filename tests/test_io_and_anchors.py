@@ -1,0 +1,135 @@
+"""Chunk format round-trip, dataset semantics, anchors, config system."""
+
+import numpy as np
+import pytest
+
+from tpu3dsis.config import Config, default_config, merge_into
+from tpu3dsis.geometry import anchors_inside_mask, read_anchor_sizes, tile_anchors
+from tpu3dsis.io import read_chunk_file, write_chunk_file
+from tpu3dsis.io.dataset import SceneDataset, encode_tsdf, paint_mask_canvas
+
+
+def make_chunk(tmp_path, rng, dims=(8, 6, 8)):
+    sdf = rng.randn(*dims).astype(np.float32) * 2
+    boxes = np.array([[1.2, 1.1, 1.3, 4.8, 4.2, 5.9], [0.0, 0.0, 0.0, 3.0, 3.0, 3.0]])
+    labels = np.array([5, 4], np.uint32)  # chair, bed (nyu40)
+    masks = []
+    for b in boxes:
+        shape = tuple(
+            int(np.ceil(b[i + 3]) - np.floor(b[i])) for i in range(3)
+        )
+        masks.append((rng.rand(*shape) > 0.5).astype(np.uint16))
+    frac = np.array([1.0, 1.0], np.float32)
+    mat = np.eye(4, dtype=np.float32)
+    mat[0, 3] = 2.0
+    frame_ids = np.array([3, 7, 11], np.uint32)
+    path = str(tmp_path / "test.chunk")
+    write_chunk_file(path, sdf, boxes, labels, masks, frac, mat, frame_ids)
+    return path, sdf, boxes, labels, masks, frac, mat, frame_ids
+
+
+def test_chunk_roundtrip(tmp_path, rng):
+    path, sdf, boxes, labels, masks, frac, mat, fids = make_chunk(tmp_path, rng)
+    raw = read_chunk_file(path)
+    np.testing.assert_array_equal(raw.sdf, sdf)
+    np.testing.assert_allclose(raw.boxes, boxes.astype(np.float32))
+    np.testing.assert_array_equal(raw.labels, labels)
+    for a, b in zip(raw.masks, masks):
+        np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(raw.frame_ids, fids)
+    # reader returns inv(mat) (dataset.py:141 semantics)
+    np.testing.assert_allclose(raw.world_to_grid, np.linalg.inv(mat), atol=1e-5)
+
+
+def test_dataset_load(tmp_path, rng):
+    path, sdf, boxes, labels, *_ = make_chunk(tmp_path, rng)
+    filelist = tmp_path / "list.txt"
+    filelist.write_text(path + "\n")
+    cfg = default_config()
+    cfg.LABEL_MAP = "experiments/labelmaps/nyu40labels_scannet.csv"
+    cfg.KEEP_THRESH = 0.0
+    ds = SceneDataset(str(filelist), "chunk", cfg)
+    assert len(ds) == 1
+    s = ds[0]
+    # tsdf encode: 2 channels, channels-last, clipped abs
+    assert s.data.shape == (8, 6, 8, 2)
+    np.testing.assert_allclose(
+        s.data[..., 0], np.abs(np.clip(sdf, -3, 3)), rtol=1e-6
+    )
+    np.testing.assert_array_equal(s.data[..., 1], (sdf > -1).astype(np.float32))
+    # boxes floor/ceil + nyu40->consecutive remap (chair 5->3, bed 4->2)
+    assert s.gt_box.shape[0] == 2
+    np.testing.assert_allclose(s.gt_box[0, :6], [1, 1, 1, 5, 5, 6])
+    assert s.gt_box[0, 6] == 3 and s.gt_box[1, 6] == 2
+    canvas = paint_mask_canvas(s)
+    assert canvas.shape == (8, 6, 8)
+
+
+def test_keep_thresh_filters_out_of_chunk_boxes(tmp_path, rng):
+    sdf = rng.randn(96, 48, 96).astype(np.float32)
+    boxes = np.array(
+        [[2, 2, 2, 10, 10, 10], [90, 2, 2, 110, 10, 10]], dtype=np.float64
+    )
+    labels = np.array([5, 5], np.uint32)
+    masks = [
+        np.ones((8, 8, 8), np.uint16),
+        np.ones((20, 8, 8), np.uint16),
+    ]
+    frac = np.array([1.0, 1.0], np.float32)  # file says 1.0; recomputed on the fly
+    path = str(tmp_path / "a.chunk")
+    write_chunk_file(
+        path, sdf, boxes, labels, masks, frac, np.eye(4, dtype=np.float32),
+        np.zeros(0, np.uint32),
+    )
+    cfg = default_config()
+    cfg.LABEL_MAP = "experiments/labelmaps/nyu40labels_scannet.csv"
+    cfg.KEEP_THRESH = 1.0
+    ds = SceneDataset.__new__(SceneDataset)
+    ds.mode = "chunk"
+    ds.cfg = cfg
+    from tpu3dsis.config import load_label_mapping
+
+    ds.mapping, ds.weights = load_label_mapping(cfg.LABEL_MAP)
+    s = ds.load(path)
+    # the half-outside box is dropped by the on-the-fly recompute
+    assert s.gt_box.shape[0] == 1
+
+
+def test_anchor_tiling_matches_reference_order():
+    base = read_anchor_sizes("experiments/anchors/scannet14_3.txt")
+    assert base.shape == (3, 6)
+    np.testing.assert_allclose(base[0], [-4, -4.5, -4, 4, 4.5, 4])
+    anchors = tile_anchors(base, (2, 1, 2), 4)
+    assert anchors.shape == (12, 6)
+    # ordering: grid site major (x-major ij ravel), anchor minor
+    np.testing.assert_allclose(anchors[0], [-4, -4.5, -4, 4, 4.5, 4])
+    np.testing.assert_allclose(anchors[3], [-4, -4.5, -4 + 4, 4, 4.5, 4 + 4])
+    np.testing.assert_allclose(anchors[6], [0, -4.5, -4, 8, 4.5, 4])
+    inside = anchors_inside_mask(anchors, (96, 48, 96))
+    assert inside.dtype == bool and inside.shape == (12,)
+    assert not inside[0]  # negative min corner
+
+
+def test_config_strict_merge():
+    cfg = default_config()
+    merge_into({"LEARNING_RATE": 0.01, "TRAIN": {"RPN_NMS_THRESH": 0.5}}, cfg)
+    assert cfg.LEARNING_RATE == 0.01
+    assert cfg.TRAIN.RPN_NMS_THRESH == 0.5
+    with pytest.raises(KeyError):
+        merge_into({"NOT_A_KEY": 1}, cfg)
+    with pytest.raises(ValueError):
+        merge_into({"LEARNING_RATE": "fast"}, cfg)
+    # int->float promotion allowed (yaml writes 1 for 1.0)
+    merge_into({"LEARNING_RATE": 1}, cfg)
+    assert cfg.LEARNING_RATE == 1.0
+
+
+def test_label_mapping_num_classes():
+    from tpu3dsis.config import finalize_config
+
+    cfg = default_config()
+    cfg.LABEL_MAP = "experiments/labelmaps/nyu40labels_scannet.csv"
+    finalize_config(cfg)
+    assert cfg.NUM_CLASSES == 19
+    assert len(cfg.NORMALIZE_WEIGHTS) == 19
+    assert abs(cfg.NORMALIZE_WEIGHTS[0] - 0.3280746813009404) < 1e-9

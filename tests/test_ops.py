@@ -1,0 +1,127 @@
+"""NMS and RoIPool3D vs oracles ported from the reference's own CPU paths."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from tpu3dsis.ops import nms_mask, nms_keep_indices, roi_pool3d
+
+
+def np_greedy_nms(dets, thresh):
+    """Oracle: greedy +1-extent NMS (reference nms/pth_nms.py:7-45)."""
+    x1, y1, z1, x2, y2, z2 = [dets[:, i] for i in range(6)]
+    areas = (x2 - x1 + 1) * (y2 - y1 + 1) * (z2 - z1 + 1)
+    order = np.arange(0, dets.shape[0])
+    keep = []
+    while order.size > 0:
+        i = order[0]
+        keep.append(i)
+        xx1 = np.maximum(x1[i], x1[order[1:]])
+        yy1 = np.maximum(y1[i], y1[order[1:]])
+        zz1 = np.maximum(z1[i], z1[order[1:]])
+        xx2 = np.minimum(x2[i], x2[order[1:]])
+        yy2 = np.minimum(y2[i], y2[order[1:]])
+        zz2 = np.minimum(z2[i], z2[order[1:]])
+        w = np.maximum(0.0, xx2 - xx1 + 1)
+        h = np.maximum(0.0, yy2 - yy1 + 1)
+        l = np.maximum(0.0, zz2 - zz1 + 1)
+        inter = w * h * l
+        ovr = inter / (areas[i] + areas[order[1:]] - inter)
+        inds = np.where(ovr <= thresh)[0]
+        order = order[inds + 1]
+    return np.array(keep)
+
+
+def rand_boxes(rng, n, scale=90.0):
+    lo = rng.uniform(0, scale, (n, 3))
+    sz = rng.uniform(2, 30, (n, 3))
+    return np.concatenate([lo, lo + sz], axis=1).astype(np.float32)
+
+
+def test_nms_matches_reference_cpu(rng):
+    for trial in range(3):
+        boxes = rand_boxes(rng, 120, scale=50.0)
+        thresh = [0.1, 0.35, 0.5][trial]
+        expect = np_greedy_nms(boxes, thresh)
+        keep = np.asarray(nms_mask(jnp.asarray(boxes), thresh))
+        got = np.where(keep)[0]
+        np.testing.assert_array_equal(got, expect)
+
+
+def test_nms_with_invalid_padding(rng):
+    boxes = rand_boxes(rng, 60, scale=50.0)
+    valid = np.ones(60, dtype=bool)
+    valid[40:] = False
+    expect = np_greedy_nms(boxes[:40], 0.3)
+    keep = np.asarray(nms_mask(jnp.asarray(boxes), 0.3, jnp.asarray(valid)))
+    assert not keep[40:].any()
+    np.testing.assert_array_equal(np.where(keep[:40])[0], expect)
+
+
+def test_nms_keep_indices_fixed_size(rng):
+    boxes = rand_boxes(rng, 80, scale=40.0)
+    expect = np_greedy_nms(boxes, 0.25)
+    idx, ok = nms_keep_indices(jnp.asarray(boxes), 0.25, 16)
+    idx, ok = np.asarray(idx), np.asarray(ok)
+    k = min(len(expect), 16)
+    np.testing.assert_array_equal(idx[:k], expect[:16])
+    assert ok[:k].all() and not ok[k:].any()
+
+
+def np_roi_pool(features, rois, pooled, spatial_scale):
+    """Oracle: reference python RoIPool loop (roi_pooling/roi_pool.py:53-199),
+    channels-last features (W, H, L, C)."""
+    W, H, L, C = features.shape
+    out = np.zeros((len(rois), pooled, pooled, pooled, C), dtype=np.float32)
+    for ri, roi in enumerate(rois):
+        s = roi * spatial_scale
+        rs = [int(np.floor(s[0])), int(np.floor(s[1])), int(np.floor(s[2]))]
+        re = [int(np.ceil(s[3])), int(np.ceil(s[4])), int(np.ceil(s[5]))]
+        rw = max(re[0] - rs[0], 1)
+        rh = max(re[1] - rs[1], 1)
+        rl = max(re[2] - rs[2], 1)
+        bw, bh, bl = rw / pooled, rh / pooled, rl / pooled
+        for pw in range(pooled):
+            for ph in range(pooled):
+                for pl in range(pooled):
+                    ws = min(W, max(0, int(np.floor(pw * bw)) + rs[0]))
+                    hs = min(H, max(0, int(np.floor(ph * bh)) + rs[1]))
+                    ls = min(L, max(0, int(np.floor(pl * bl)) + rs[2]))
+                    we = min(W, max(0, int(np.ceil((pw + 1) * bw)) + rs[0]))
+                    he = min(H, max(0, int(np.ceil((ph + 1) * bh)) + rs[1]))
+                    le = min(L, max(0, int(np.ceil((pl + 1) * bl)) + rs[2]))
+                    if we <= ws or he <= hs or le <= ls:
+                        continue
+                    out[ri, pw, ph, pl] = features[ws:we, hs:he, ls:le].max(
+                        axis=(0, 1, 2)
+                    )
+    return out
+
+
+def test_roi_pool_matches_reference_cpu(rng):
+    feat = rng.randn(24, 12, 24, 8).astype(np.float32)
+    rois = np.stack(
+        [
+            np.array([0, 0, 0, 96, 48, 96], np.float32),  # whole volume
+            np.array([4, 4, 4, 20, 20, 20], np.float32),
+            np.array([1, 1, 1, 3, 3, 3], np.float32),  # sub-bin-size roi
+            np.array([50, 20, 50, 90, 44, 90], np.float32),
+            np.array([10.3, 7.7, 22.1, 33.9, 30.2, 55.5], np.float32),
+        ]
+    )
+    expect = np_roi_pool(feat, rois, 4, 0.25)
+    got = np.asarray(roi_pool3d(jnp.asarray(feat), jnp.asarray(rois), 4, 0.25))
+    np.testing.assert_allclose(got, expect, rtol=1e-6)
+
+
+def test_roi_pool_gradient_flows(rng):
+    import jax
+
+    feat = jnp.asarray(rng.randn(8, 8, 8, 4).astype(np.float32))
+    rois = jnp.asarray(np.array([[0, 0, 0, 32, 32, 32]], np.float32))
+
+    def loss(f):
+        return roi_pool3d(f, rois, 2, 0.25).sum()
+
+    g = jax.grad(loss)(feat)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.asarray(g).sum() > 0
