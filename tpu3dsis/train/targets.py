@@ -244,7 +244,9 @@ def proposal_targets(
     # (B, C, 6) -> (B, 6C) with class-major blocks (6*cls + d layout,
     # proposal_target_layer.py:161-164)
     bbox_targets = (onehot[:, :, None] * targets6[:, None, :]).reshape(b, -1)
-    inside_w = (onehot[:, :, None] * (cls > 0)[:, None, None]).reshape(b, -1)
+    inside_w = jnp.broadcast_to(
+        (onehot * (cls > 0)[:, None])[:, :, None], (b, num_classes, 6)
+    ).reshape(b, -1)
     outside_w = (inside_w > 0).astype(targets6.dtype)
 
     return {
