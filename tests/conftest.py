@@ -6,12 +6,20 @@ substitute for multi-node CI; see SURVEY.md section 4(d)).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the session environment pins JAX_PLATFORMS=axon (a remote TPU
+# tunnel with ~30ms RTT per dispatch) which makes unit tests crawl AND runs
+# fp32 convs through the MXU's bf16 pass (1e-3 error vs torch oracles).
+# The env var alone is overridden by the axon plugin; jax.config wins.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
