@@ -1,0 +1,149 @@
+"""2D->3D back-projection: dense per-voxel gather, vmapped over views.
+
+TPU-first redesign of the reference projection
+(``lib/layer_utils/projection.py:6-153``). The reference builds, per frame,
+length-prefixed index-pair lists on the host (frustum cull -> perspective
+project -> depth-consistency test -> ``index_copy_`` scatter of 2D features
+into the 3D volume). Because each 3D voxel reads at most ONE pixel, that
+scatter is really a gather — so here every voxel center is projected in one
+dense batched computation (no host loops, no dynamic index lists) and the
+color volume is a masked ``take`` from the image feature map. Multi-view
+fusion is a running elementwise max over views (identical math to the
+reference's stacked/pairwise view max-pool, network.py:107-113 / 220-235,
+since invalid voxels contribute 0).
+
+Acceptance predicate parity (projection.py:90-110): rounded pixel coords in
+bounds, depth in [depth_min, depth_max], |depth - z_cam| <= voxel_size. The
+reference's loose frustum-bbox cull is a compute optimization only — every
+voxel it excludes also fails this predicate (up to its >=1-voxel bbox
+slack), and dense math needs no cull.
+
+The backward pass is JAX autodiff of the gather — a correct scatter-add,
+unlike the reference's hand-written backward which overwrites duplicate
+pixels and hardcodes a 32x41 grad shape (projection.py:146-151).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("volume_dims", "image_dims"))
+def compute_projection(
+    depth,
+    camera_to_world,
+    world_to_grid,
+    intrinsic,
+    volume_dims,
+    image_dims,
+    depth_min,
+    depth_max,
+    voxel_size,
+):
+    """Project every voxel center into one depth frame.
+
+    Args:
+      depth: (H, W) metric depth at the feature-map resolution.
+      camera_to_world, world_to_grid: (4, 4).
+      intrinsic: (4, 4) at the depth-map resolution.
+      volume_dims: static (X, Y, Z).
+      image_dims: static (W, H) — reference convention (config DEPTH_SHAPE).
+
+    Returns:
+      lin2d: (X, Y, Z) int32 flat pixel index (y * W + x), 0 where invalid.
+      valid: (X, Y, Z) bool acceptance mask.
+    """
+    w, h = image_dims
+    world_to_camera = jnp.linalg.inv(camera_to_world)
+    grid_to_world = jnp.linalg.inv(world_to_grid)
+
+    x = jnp.arange(volume_dims[0], dtype=jnp.float32)
+    y = jnp.arange(volume_dims[1], dtype=jnp.float32)
+    z = jnp.arange(volume_dims[2], dtype=jnp.float32)
+    gx, gy, gz = jnp.meshgrid(x, y, z, indexing="ij")
+    ones = jnp.ones_like(gx)
+    coords = jnp.stack([gx, gy, gz, ones], axis=-1).reshape(-1, 4)  # (N, 4)
+
+    m = world_to_camera @ grid_to_world
+    cam = coords @ m.T  # (N, 4)
+    fx, fy = intrinsic[0, 0], intrinsic[1, 1]
+    cx, cy = intrinsic[0, 2], intrinsic[1, 2]
+    zc = cam[:, 2]
+    px = jnp.round(cam[:, 0] * fx / zc + cx).astype(jnp.int32)
+    py = jnp.round(cam[:, 1] * fy / zc + cy).astype(jnp.int32)
+
+    in_image = (px >= 0) & (py >= 0) & (px < w) & (py < h)
+    lin2d = jnp.where(in_image, py * w + px, 0)
+    dvals = depth.reshape(-1)[lin2d]
+    depth_ok = (
+        (dvals >= depth_min)
+        & (dvals <= depth_max)
+        & (jnp.abs(dvals - zc) <= voxel_size)
+    )
+    valid = in_image & depth_ok
+    shape = tuple(volume_dims)
+    return lin2d.reshape(shape), valid.reshape(shape)
+
+
+def project_features(feat2d, lin2d, valid):
+    """Gather image features into the voxel grid.
+
+    feat2d: (H, W, C); returns (X, Y, Z, C), 0 where invalid — matching the
+    zero-initialized scatter of the reference ``Projection.forward``
+    (projection.py:129-136).
+    """
+    c = feat2d.shape[-1]
+    flat = feat2d.reshape(-1, c)
+    vol = flat[lin2d.reshape(-1)]
+    vol = jnp.where(valid.reshape(-1, 1), vol, 0.0)
+    return vol.reshape(*lin2d.shape, c)
+
+
+def fuse_views(
+    feats2d,
+    depths,
+    poses,
+    world_to_grid,
+    intrinsic,
+    volume_dims,
+    image_dims,
+    depth_min,
+    depth_max,
+    voxel_size,
+    view_valid=None,
+):
+    """Max-fuse V views into one color volume (X, Y, Z, C).
+
+    feats2d: (V, H, W, C); depths: (V, H, W); poses: (V, 4, 4).
+    ``view_valid`` optionally drops whole frames (the reference's
+    ``killing_inds``, network.py:220-223). Implemented as a lax.scan with a
+    single carried volume so memory stays O(1) in V (the reference's
+    TEST-mode pairwise max-pool exists for the same reason; the math is
+    identical).
+    """
+    c = feats2d.shape[-1]
+    init = jnp.zeros((*tuple(volume_dims), c), feats2d.dtype)
+
+    def body(carry, view):
+        feat, depth, pose, ok = view
+        lin2d, valid = compute_projection(
+            depth,
+            pose,
+            world_to_grid,
+            intrinsic,
+            tuple(volume_dims),
+            tuple(image_dims),
+            depth_min,
+            depth_max,
+            voxel_size,
+        )
+        vol = project_features(feat, lin2d, valid & ok)
+        return jnp.maximum(carry, vol), None
+
+    if view_valid is None:
+        view_valid = jnp.ones((feats2d.shape[0],), bool)
+    out, _ = jax.lax.scan(body, init, (feats2d, depths, poses, view_valid))
+    return out
