@@ -1,0 +1,86 @@
+"""Whole-scene tiling: coverage, padding, stitch NMS, end-to-end smoke."""
+
+import numpy as np
+import pytest
+
+from tpu3dsis.infer.tiling import pad_volume, tile_origins
+
+
+def test_tile_origins_cover_extent():
+    for extent in (96, 97, 100, 160, 250, 400):
+        starts = tile_origins(extent, 96, 48)
+        assert starts[0] == 0
+        assert starts[-1] + 96 >= extent
+        assert all(starts[i + 1] - starts[i] <= 48 for i in range(len(starts) - 1))
+        # every interval of length <= tile - stride = 48 voxels (2.25 m)
+        # lies fully inside some tile -> objects up to the largest ScanNet
+        # anchor (53 vox) are whole in >= 1 tile for all but boundary cases
+        for lo in range(0, extent - 48):
+            assert any(s <= lo and lo + 48 <= s + 96 for s in starts)
+
+
+def test_tile_origins_small_extent():
+    assert tile_origins(48, 96, 64) == [0]
+
+
+def test_pad_volume_free_space():
+    data = np.random.RandomState(0).rand(50, 48, 70, 2).astype(np.float32)
+    out = pad_volume(data, (96, 48, 96))
+    assert out.shape == (96, 48, 96, 2)
+    np.testing.assert_array_equal(out[:50, :, :70], data)
+    assert (out[50:, :, :, 0] == 3.0).all() and (out[50:, :, :, 1] == 1.0).all()
+    assert (out[:, :, 70:, 0] == 3.0).all() and (out[:, :, 70:, 1] == 1.0).all()
+
+
+def test_stitch_nms_dedup(scannet_cfg):
+    from tpu3dsis.infer.tiling import SceneInference
+    from tpu3dsis.models import Detector
+
+    det = Detector(scannet_cfg, anchor_dir="experiments/anchors")
+    si = SceneInference.__new__(SceneInference)
+    si.cfg = scannet_cfg
+    boxes = np.array(
+        [
+            [0, 0, 0, 10, 10, 10],
+            [1, 1, 1, 10, 10, 10],  # duplicate of 0, lower conf
+            [0, 0, 0, 10, 10, 10],  # same box, different class -> kept
+            [40, 0, 0, 50, 10, 10],
+        ],
+        np.float32,
+    )
+    classes = np.array([3, 3, 5, 3])
+    confs = np.array([0.9, 0.7, 0.8, 0.6])
+    keep = si._stitch_nms(boxes, classes, confs, thresh=0.25)
+    assert set(keep.tolist()) == {0, 2, 3}
+
+
+@pytest.mark.slow
+def test_scene_inference_smoke(scannet_cfg):
+    import jax
+
+    from tpu3dsis.infer.tiling import SceneInference
+    from tpu3dsis.models import Detector
+
+    cfg = scannet_cfg.copy()
+    cfg.TEST.RPN_PRE_NMS_TOP_N = 64
+    cfg.TEST.RPN_POST_NMS_TOP_N = 8
+    cfg.CLASS_THRESH = 0.0  # untrained net: accept everything valid
+    det = Detector(cfg, anchor_dir="experiments/anchors")
+    params = det.init_params(jax.random.PRNGKey(0))
+    si = SceneInference(det, cfg, tile_batch=4)
+    scene = np.random.RandomState(0).randn(100, 40, 100, 2).astype(np.float32)
+    out = si.detect(params, scene)
+    assert out["pred_box"].shape[1] == 6
+    assert np.isfinite(out["pred_box"]).all()
+    assert (out["pred_box"][:, :3] >= 0).all()
+    assert (out["pred_box"][:, 3] <= 100).all()
+    assert (out["pred_class"] > 0).all()
+    # confidences sorted by the stitch keep order
+    if len(out["pred_conf"]) > 1:
+        assert (np.diff(out["pred_conf"]) <= 1e-6).all()
+    few = {k: v[:2] for k, v in out.items()}  # mask FCN is slow on test CPU
+    masks = si.predict_masks(params, scene, few)
+    assert len(masks) == len(few["pred_box"])
+    for m, b in zip(masks, few["pred_box"]):
+        r = np.round(b).astype(int)
+        assert m.shape == tuple(r[3:] - r[:3])

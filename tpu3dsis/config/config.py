@@ -193,7 +193,11 @@ def default_config() -> Config:
     c.TPU_MASK_CANVAS = [96, 48, 96]
     # whole-scene tiling: chunk size + halo overlap in voxels
     c.TPU_TILE_SIZE = [96, 48, 96]
-    c.TPU_TILE_STRIDE = [64, 48, 64]
+    c.TPU_TILE_STRIDE = [48, 48, 48]
+    # cross-tile dedup NMS threshold (stitching)
+    c.TPU_STITCH_NMS_THRESH = 0.25
+    # mask-training roi capacity per sample
+    c.TPU_MAX_MASK_ROIS = 16
 
     return c
 

@@ -1,0 +1,245 @@
+"""Whole-scene inference: static-shape sliding-window tiling + stitching.
+
+The reference runs the full scene through the backbone in ONE shot with
+per-scene anchor regeneration and a CPU fallback above MAX_VOLUME voxels
+(``lib/nets/network.py:187-317``, ``lib/utils/config.py:123-124``,
+``lib/model/trainval.py:664-667``). That design is hostile to XLA (a fresh
+compile per scene shape) and memory-bound. Here a scene of ANY size runs
+through ONE compiled program: 96x48x96 tiles with overlap, batched through
+the jitted chunk detector, detections shifted to scene coords and
+deduplicated with a class-aware cross-tile 3D NMS. Masks run per kept box on
+a fixed crop canvas (region-masked FCN == exact-crop math, see
+``tpu3dsis.models.backbones.MaskBackboneArch``).
+
+Coverage argument: with tile t and stride s, every axis interval of length
+<= t - s lies fully inside some tile; the default (96, stride 48) covers
+objects up to 48 voxels (2.25 m at 4.7 cm/voxel) per axis — larger than all
+but the longest ScanNet anchor; the duplicate detections from overlapping tiles are removed by the
+stitch NMS keeping the highest-confidence copy.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu3dsis.geometry.boxes import nms_overlap
+from tpu3dsis.models.detector import Detector, build_inference_fn
+
+
+def tile_origins(extent: int, tile: int, stride: int):
+    """1D tile start offsets covering [0, extent), last tile end-clamped."""
+    if extent <= tile:
+        return [0]
+    starts = list(range(0, extent - tile, stride))
+    starts.append(extent - tile)
+    return starts
+
+
+def pad_volume(data: np.ndarray, tile_shape, pad_value=(3.0, 1.0)):
+    """Pad encoded TSDF (X, Y, Z, 2) up to at least one tile per axis.
+
+    Padding is free space: |tsdf| = TRUNCATED, occupancy = 1 (sdf > -1),
+    matching what empty regions look like after ``encode_tsdf``.
+    """
+    px = max(0, tile_shape[0] - data.shape[0])
+    py = max(0, tile_shape[1] - data.shape[1])
+    pz = max(0, tile_shape[2] - data.shape[2])
+    if px or py or pz:
+        data = np.pad(
+            data,
+            ((0, px), (0, py), (0, pz), (0, 0)),
+            constant_values=0.0,
+        )
+        # overwrite the padded region per channel
+        if px:
+            data[-px:, :, :, 0] = pad_value[0]
+            data[-px:, :, :, 1] = pad_value[1]
+        if py:
+            data[:, -py:, :, 0] = pad_value[0]
+            data[:, -py:, :, 1] = pad_value[1]
+        if pz:
+            data[:, :, -pz:, 0] = pad_value[0]
+            data[:, :, -pz:, 1] = pad_value[1]
+    return data
+
+
+class SceneInference:
+    """Compile-once whole-scene detector (+ optional masks)."""
+
+    def __init__(self, detector: Detector, cfg, tile_batch: int = 8):
+        self.det = detector
+        self.cfg = cfg
+        self.tile = tuple(int(t) for t in cfg.TPU_TILE_SIZE)
+        self.stride = tuple(int(s) for s in cfg.TPU_TILE_STRIDE)
+        self.tile_batch = tile_batch
+        single = build_inference_fn(detector, cfg, self.tile, mode="TEST")
+        self._tiled_fn = jax.jit(
+            lambda params, scenes: jax.vmap(lambda s: single(params, s[None]))(
+                scenes
+            )
+        )
+        self._mask_fn = None
+        if detector.mask_backbone is not None:
+            self._mask_fn = jax.jit(self._build_mask_fn())
+
+    # --- mask on fixed crop canvas ---------------------------------------
+    def _build_mask_fn(self):
+        det = self.det
+        canvas = self.tile
+
+        def mask_one(params, crop, region, label):
+            # crop: (X, Y, Z, 2) canvas slice; region: (X, Y, Z)
+            logits = det.mask_backbone.apply(
+                params,
+                (crop * region[..., None])[None],
+                training=False,  # sigmoid applied (backbones.py:285-287)
+                region_mask=region[None, ..., None],
+                compute_dtype=det.cfg_static["compute_dtype"],
+            )
+            return logits[0, :, :, :, label]
+
+        return mask_one
+
+    # --- main entry -------------------------------------------------------
+    def detect(self, params, scene_data: np.ndarray):
+        """scene_data: (X, Y, Z, 2) encoded TSDF (host array).
+
+        Returns dict(pred_box (N,6), pred_class (N,), pred_conf (N,)) in
+        scene voxel coords, stitched + deduplicated, sorted by confidence.
+        """
+        cfg = self.cfg
+        tx, ty, tz = self.tile
+        data = pad_volume(scene_data.astype(np.float32), self.tile)
+        xs = tile_origins(data.shape[0], tx, self.stride[0])
+        ys = tile_origins(data.shape[1], ty, self.stride[1])
+        zs = tile_origins(data.shape[2], tz, self.stride[2])
+        origins = [(ox, oy, oz) for ox in xs for oy in ys for oz in zs]
+
+        tiles = np.stack(
+            [
+                data[ox : ox + tx, oy : oy + ty, oz : oz + tz]
+                for ox, oy, oz in origins
+            ]
+        )
+
+        boxes, classes, confs = [], [], []
+        bs = self.tile_batch
+        n = len(origins)
+        for i in range(0, n, bs):
+            batch = tiles[i : i + bs]
+            nb = batch.shape[0]
+            if nb < bs:
+                batch = np.concatenate(
+                    [batch, np.zeros((bs - nb, *batch.shape[1:]), np.float32)]
+                )
+            out = self._tiled_fn(params, jnp.asarray(batch))
+            ob = np.asarray(out["pred_box"])[:nb]
+            ocls = np.asarray(out["cls_pred"])[:nb]
+            oconf = np.asarray(out["pred_conf"])[:nb]
+            ovalid = np.asarray(out["valid"])[:nb]
+            odegen = np.asarray(out["degenerate"])[:nb]
+            for j in range(nb):
+                keep = (
+                    ovalid[j]
+                    & ~odegen[j]
+                    & (oconf[j] > cfg.CLASS_THRESH)
+                    & (ocls[j] > 0)
+                )
+                if not keep.any():
+                    continue
+                b = ob[j][keep]
+                off = np.array(origins[i + j], np.float32)
+                b = b + np.concatenate([off, off])
+                boxes.append(b)
+                classes.append(ocls[j][keep])
+                confs.append(oconf[j][keep])
+
+        if not boxes:
+            return {
+                "pred_box": np.zeros((0, 6), np.float32),
+                "pred_class": np.zeros((0,), np.int32),
+                "pred_conf": np.zeros((0,), np.float32),
+            }
+
+        boxes = np.concatenate(boxes)
+        classes = np.concatenate(classes)
+        confs = np.concatenate(confs)
+        keep = self._stitch_nms(boxes, classes, confs)
+        # clip to the true (unpadded) scene extent
+        sx, sy, sz = scene_data.shape[:3]
+        out_box = np.clip(
+            boxes[keep], 0, np.array([sx, sy, sz, sx, sy, sz], np.float32)
+        )
+        return {
+            "pred_box": out_box,
+            "pred_class": classes[keep].astype(np.int32),
+            "pred_conf": confs[keep],
+        }
+
+    def _stitch_nms(self, boxes, classes, confs, thresh=None):
+        """Class-aware greedy NMS across tiles (host numpy, +1 extents)."""
+        if thresh is None:
+            thresh = float(dict.get(self.cfg, "TPU_STITCH_NMS_THRESH", 0.25))
+        order = np.argsort(-confs)
+        keep = []
+        iou = np.asarray(
+            nms_overlap(jnp.asarray(boxes), jnp.asarray(boxes))
+        )
+        suppressed = np.zeros(len(boxes), bool)
+        for i in order:
+            if suppressed[i]:
+                continue
+            keep.append(i)
+            same = classes == classes[i]
+            suppressed |= same & (iou[i] > thresh)
+        return np.array(keep, np.int64)
+
+    # --- masks ------------------------------------------------------------
+    def predict_masks(self, params, scene_data: np.ndarray, det_out: dict):
+        """Per kept box: sigmoid mask of the predicted class, thresholded.
+
+        Returns list of (bw, bh, bl) uint8 box-crop masks (reference
+        trainval.py:755-762 artifact semantics).
+        """
+        if self._mask_fn is None:
+            return []
+        tx, ty, tz = self.tile
+        data = pad_volume(scene_data.astype(np.float32), self.tile)
+        sx, sy, sz = data.shape[:3]
+        masks = []
+        for box, cls in zip(det_out["pred_box"], det_out["pred_class"]):
+            r = np.round(box).astype(int)
+            # canvas window containing the (clamped-to-canvas-size) box
+            bsz = np.minimum(r[3:] - r[:3], [tx, ty, tz])
+            start = np.clip(r[:3], 0, [sx - tx, sy - ty, sz - tz])
+            # ensure the box (up to canvas size) fits the window
+            start = np.minimum(start, np.maximum(r[:3] + bsz - [tx, ty, tz], 0))
+            crop = data[
+                start[0] : start[0] + tx,
+                start[1] : start[1] + ty,
+                start[2] : start[2] + tz,
+            ]
+            local = np.concatenate([r[:3] - start, r[:3] - start + bsz])
+            region = np.zeros((tx, ty, tz), np.float32)
+            region[
+                local[0] : local[3], local[1] : local[4], local[2] : local[5]
+            ] = 1.0
+            prob = np.asarray(
+                self._mask_fn(
+                    params, jnp.asarray(crop), jnp.asarray(region), int(cls)
+                )
+            )
+            m = prob[
+                local[0] : local[3], local[1] : local[4], local[2] : local[5]
+            ]
+            full_size = tuple(r[3:] - r[:3])
+            out = np.zeros(full_size, np.uint8)
+            out[: m.shape[0], : m.shape[1], : m.shape[2]] = (
+                m >= self.cfg.MASK_THRESH
+            ).astype(np.uint8)
+            masks.append(out)
+        return masks
