@@ -84,6 +84,8 @@ def box_jaccard(box_a, box_b):
 
 def mask_jaccard(masks_a, masks_b):
     """(A, B) voxel IoU of full-scene binary masks (evaluation.py:144-179)."""
+    if masks_a.shape[0] == 0 or masks_b.shape[0] == 0:
+        return np.zeros((masks_a.shape[0], masks_b.shape[0]))
     a = masks_a.reshape(masks_a.shape[0], -1).astype(bool)
     b = masks_b.reshape(masks_b.shape[0], -1).astype(bool)
     inter = (a[:, None, :] & b[None, :, :]).sum(axis=2)

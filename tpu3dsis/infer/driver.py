@@ -1,0 +1,129 @@
+"""Whole-scene test / benchmark drivers with reference-compatible artifacts.
+
+Port of ``SolverWrapper.test``/``benchmark`` (``lib/model/trainval.py:
+640-941``): per scene, dump into ``<SAVE_DIR>/<scene-id[:12]>/``:
+  pred_class.npy, pred_conf.npy, pred_box.npy,
+  scene.npy (occupancy: encoded |tsdf| <= 1),
+  pred_mask (pickle: list of box-crop binary masks for kept boxes),
+  pred_mask_index (pickle: bool keep list),
+  [test mode] gt_class.npy, gt_box.npy, gt_mask (pickle)
+and (test mode) accumulate classification + mask mAP. Benchmark mode skips
+scenes whose pred_box.npy already exists (restart idempotency,
+trainval.py:648-653).
+
+Unlike the reference's one-shot full-scene forward (with CPU fallback above
+MAX_VOLUME), scenes run through the tiled ``SceneInference`` — any size, one
+compiled program.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+
+import numpy as np
+
+from tpu3dsis.eval import DetectionMAP
+from tpu3dsis.infer.tiling import SceneInference
+from tpu3dsis.io.dataset import SceneDataset
+from tpu3dsis.models.detector import Detector
+
+
+def _scene_dir(save_dir, scene_path):
+    return os.path.join(save_dir, os.path.basename(scene_path)[:12])
+
+
+def run_scenes(
+    cfg,
+    params,
+    mode: str,
+    detector: Detector | None = None,
+    dataset: SceneDataset | None = None,
+    max_scenes=None,
+    with_masks=True,
+):
+    """mode: 'test' (gt + mAP) or 'benchmark' (export only).
+
+    Returns the mAP dict for test mode, else {}.
+    """
+    assert mode in ("test", "benchmark")
+    save_dir = cfg.TEST_SAVE_DIR
+    os.makedirs(save_dir, exist_ok=True)
+    if detector is None:
+        detector = Detector(cfg, anchor_dir="experiments/anchors")
+    if dataset is None:
+        dataset = SceneDataset(
+            cfg.TEST_FILELIST, "benchmark" if mode == "benchmark" else "scene", cfg
+        )
+    si = SceneInference(detector, cfg)
+
+    map_cls = DetectionMAP(
+        cfg.NUM_CLASSES, overlap_threshold=cfg.MAP_THRESH, ignore_class=[0]
+    )
+    map_mask = DetectionMAP(
+        cfg.NUM_CLASSES, overlap_threshold=cfg.MAP_THRESH, ignore_class=[0]
+    )
+
+    n = len(dataset) if max_scenes is None else min(max_scenes, len(dataset))
+    for idx in range(n):
+        scene_path = dataset.scenes[idx]
+        out_dir = _scene_dir(save_dir, scene_path)
+        if mode == "benchmark" and os.path.isfile(
+            os.path.join(out_dir, "pred_box.npy")
+        ):
+            continue
+        sample = dataset[idx]
+        det_out = si.detect(params, sample.data)
+        masks = (
+            si.predict_masks(params, sample.data, det_out) if with_masks else []
+        )
+
+        os.makedirs(out_dir, exist_ok=True)
+        np.save(os.path.join(out_dir, "pred_class.npy"), det_out["pred_class"])
+        np.save(os.path.join(out_dir, "pred_conf.npy"), det_out["pred_conf"])
+        np.save(os.path.join(out_dir, "pred_box.npy"), det_out["pred_box"])
+        np.save(
+            os.path.join(out_dir, "scene.npy"),
+            np.where(sample.data[..., 0] <= 1, 1, 0),
+        )
+        if with_masks:
+            with open(os.path.join(out_dir, "pred_mask"), "wb") as f:
+                pickle.dump(masks, f)
+            with open(os.path.join(out_dir, "pred_mask_index"), "wb") as f:
+                pickle.dump([True] * len(masks), f)
+
+        if mode == "test" and sample.gt_box.shape[0]:
+            gt_box = sample.gt_box[:, :6]
+            gt_cls = sample.gt_box[:, 6]
+            np.save(os.path.join(out_dir, "gt_class.npy"), gt_cls)
+            np.save(os.path.join(out_dir, "gt_box.npy"), gt_box)
+            with open(os.path.join(out_dir, "gt_mask"), "wb") as f:
+                pickle.dump(sample.gt_mask, f)
+            map_cls.evaluate(
+                det_out["pred_box"],
+                det_out["pred_class"],
+                det_out["pred_conf"],
+                gt_box,
+                gt_cls,
+            )
+            if with_masks:
+                map_mask.evaluate_mask(
+                    det_out["pred_box"],
+                    det_out["pred_class"],
+                    det_out["pred_conf"],
+                    masks,
+                    gt_box,
+                    gt_cls,
+                    sample.gt_mask,
+                    sample.data.shape[:3],
+                )
+
+    if mode == "test":
+        map_cls.finalize()
+        results = {"mAP_CLASSIFICATION": map_cls.mAP()}
+        if with_masks:
+            map_mask.finalize()
+            results["mAP_MASK"] = map_mask.mAP()
+        print(results)
+        return results
+    return {}

@@ -33,8 +33,11 @@ class TrainState(NamedTuple):
 def _mask_forward_scan(detector, params, scene, region_masks, chunk=4):
     """Run the mask FCN over M region-masked copies of the scene.
 
-    lax.map in blocks bounds transient memory (the reference loops over RoIs
-    in python, network.py:170-184); rematerialized for the backward pass.
+    Statically-unrolled blocks of `chunk` rois bound transient memory (the
+    reference loops over RoIs in python, network.py:170-184); each block is
+    rematerialized for the backward pass. NOTE: deliberately NOT lax.map —
+    grad-of-scan-of-remat hits a pathological slow path (~30x) on the CPU
+    backend, and the block count is small and static anyway.
     """
 
     @jax.checkpoint
@@ -53,9 +56,11 @@ def _mask_forward_scan(detector, params, scene, region_masks, chunk=4):
     nblk = (m + chunk - 1) // chunk
     pad = nblk * chunk - m
     masks = jnp.pad(region_masks, ((0, pad), (0, 0), (0, 0), (0, 0)))
-    blocks = masks.reshape(nblk, chunk, *masks.shape[1:])
-    out = jax.lax.map(one_block, blocks)
-    return out.reshape(nblk * chunk, *out.shape[2:])[:m]
+    outs = [
+        one_block(masks[i * chunk : (i + 1) * chunk]) for i in range(nblk)
+    ]
+    out = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+    return out[:m]
 
 
 def build_loss_fn(detector: Detector, cfg, scene_shape):
