@@ -1,0 +1,154 @@
+"""Color pipeline end-to-end: frames on disk -> dataset -> train step ->
+chunk inference -> tiled scene inference. Uses the USE_IMAGES_GT path
+(label images, no ENet) to stay CPU-fast; ENet itself is covered by
+tests/test_enet.py."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from tpu3dsis.io import write_chunk_file
+
+
+DIMS = (16, 16, 16)
+W, H = 8, 6
+
+
+def build_frames_dir(tmp_path, rng, scene="s0", n_frames=3):
+    root = tmp_path / "frames_square" / scene
+    for sub in ("depth", "pose", "label"):
+        os.makedirs(root / sub, exist_ok=True)
+    # camera 1m in front of the grid along -z, 0.25 m voxels
+    pose = np.eye(4, dtype=np.float32)
+    pose[2, 3] = -1.0
+    for i in range(n_frames):
+        depth_m = rng.uniform(0.5, 3.5, (H, W)).astype(np.float32)
+        Image.fromarray((depth_m * 1000).astype(np.uint16)).save(
+            root / "depth" / f"{i}.png"
+        )
+        np.savetxt(root / "pose" / f"{i}.txt", pose, fmt="%.6f")
+        label = rng.randint(0, 40, (H, W)).astype(np.uint8)
+        Image.fromarray(label).save(root / "label" / f"{i}.png")
+    # whole-scene world2grid (pre-padding; loader subtracts [10,16,10])
+    w2g = np.diag([4.0, 4.0, 4.0, 1.0]).astype(np.float32)
+    w2g[0, 3], w2g[1, 3], w2g[2, 3] = 10, 16, 10
+    np.savetxt(root / "world2grid.txt", w2g, fmt="%.6f")
+    return str(tmp_path / "frames_square")
+
+
+def color_cfg(scannet_cfg, tmp_path, base_path):
+    cfg = scannet_cfg.copy()
+    cfg.LABEL_MAP = "experiments/labelmaps/nyu40labels_scannet.csv"
+    cfg.USE_IMAGES = True
+    cfg.USE_IMAGES_GT = True
+    cfg.IMAGE_TYPE = "label"
+    cfg.IMAGE_EXT = ".png"
+    cfg.IMAGE_SHAPE = [W, H]
+    cfg.DEPTH_SHAPE = [W, H]
+    cfg.NUM_IMAGE_CHANNELS = 1
+    cfg.NUM_IMAGES = 2
+    cfg.VOXEL_SIZE = 0.25
+    cfg.INTRINSIC = [[7.0, 0, 3.5, 0], [0, 7.5, 2.5, 0], [0, 0, 1, 0], [0, 0, 0, 1]]
+    cfg.BASE_IMAGE_PATH = base_path
+    cfg.KEEP_THRESH = 0.0
+    cfg.MODE = "train"
+    cfg.TRAIN.RPN_PRE_NMS_TOP_N = 32
+    cfg.TRAIN.RPN_POST_NMS_TOP_N = 8
+    cfg.TEST.RPN_PRE_NMS_TOP_N = 32
+    cfg.TEST.RPN_POST_NMS_TOP_N = 4
+    cfg.RPN_BATCHSIZE = 16
+    cfg.CLASS_BATCH_SIZE = 8
+    cfg.TPU_MAX_GT = 4
+    cfg.TPU_MAX_MASK_ROIS = 1
+    cfg.TPU_TILE_SIZE = list(DIMS)
+    cfg.TPU_TILE_STRIDE = [8, 16, 8]
+    cfg.TPU_MAX_TILE_VIEWS = 2
+    cfg.CLASS_THRESH = 0.0
+    return cfg
+
+
+def write_chunk(tmp_path, rng, name="s0__0__.chunk", frame_ids=(0, 1, 2)):
+    sdf = (rng.randn(*DIMS) * 2).astype(np.float32)
+    path = str(tmp_path / name)
+    write_chunk_file(
+        path, sdf,
+        np.array([[4, 4, 4, 12, 12, 12]], np.float64),
+        np.array([5], np.uint32),
+        [np.ones((8, 8, 8), np.uint16)],
+        np.ones(1, np.float32),
+        np.eye(4, dtype=np.float32),
+        np.asarray(frame_ids, np.uint32),
+    )
+    return path
+
+
+def test_color_dataset_and_train_step(tmp_path, rng, scannet_cfg):
+    base = build_frames_dir(tmp_path, rng)
+    cfg = color_cfg(scannet_cfg, tmp_path, base)
+    chunk = write_chunk(tmp_path, rng)
+
+    from tpu3dsis.io.dataset import SceneDataset, pad_sample
+
+    ds = SceneDataset.__new__(SceneDataset)
+    ds.mode = "chunk"
+    ds.cfg = cfg
+    from tpu3dsis.config import load_label_mapping
+
+    ds.mapping, ds.weights = load_label_mapping(cfg.LABEL_MAP)
+    sample = ds.load(chunk)
+    # train mode caps to NUM_IMAGES=2 (dataloader.py:23-28)
+    assert sample.images.shape == (2, H, W, 1)
+    assert sample.depths.shape == (2, H, W)
+    padded = pad_sample(sample, cfg)
+    assert padded["images"].shape == (2, H, W, 1)
+    assert padded["view_valid"].all()
+
+    # one color train step
+    import jax
+
+    from tpu3dsis.models import Detector
+    from tpu3dsis.train.trainstep import TrainState, build_train_step
+
+    det = Detector(cfg, anchor_dir="experiments/anchors")
+    params = det.init_params(jax.random.PRNGKey(0))
+    opt_init, step = build_train_step(det, cfg, DIMS, mesh=None)
+    state = TrainState(params=params, opt=opt_init(params))
+    batch = {k: np.asarray(v)[None] for k, v in padded.items()}
+    state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["total_loss"]))
+
+    # chunk validation path with frames
+    from tpu3dsis.infer.validate import ChunkValidator
+
+    validator = ChunkValidator(det, cfg, DIMS)
+    params_np = {k: np.asarray(v) for k, v in state.params.items()}
+    out = validator.predict_chunk(params_np, padded)
+    assert np.isfinite(out["pred_box"]).all()
+
+
+def test_color_scene_inference(tmp_path, rng, scannet_cfg):
+    base = build_frames_dir(tmp_path, rng)
+    cfg = color_cfg(scannet_cfg, tmp_path, base)
+    cfg.MODE = "test"
+
+    import jax
+
+    from tpu3dsis.infer.tiling import SceneInference
+    from tpu3dsis.models import Detector
+
+    det = Detector(cfg, anchor_dir="experiments/anchors")
+    params = det.init_params(jax.random.PRNGKey(0))
+    si = SceneInference(det, cfg, tile_batch=2)
+    scene = rng.randn(24, 16, 24, 2).astype(np.float32)
+    frames = {
+        "images": rng.randn(3, H, W, 1).astype(np.float32),
+        "depths": rng.uniform(0.5, 3.5, (3, H, W)).astype(np.float32),
+        "poses": np.tile(np.eye(4, dtype=np.float32), (3, 1, 1)),
+        "world_to_grid": np.diag([4.0, 4.0, 4.0, 1.0]).astype(np.float32),
+    }
+    frames["poses"][:, 2, 3] = -1.0
+    out = si.detect(params, scene, frames=frames)
+    assert out["pred_box"].shape[1] == 6
+    assert np.isfinite(out["pred_box"]).all()

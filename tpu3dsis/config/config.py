@@ -198,6 +198,8 @@ def default_config() -> Config:
     c.TPU_STITCH_NMS_THRESH = 0.25
     # mask-training roi capacity per sample
     c.TPU_MAX_MASK_ROIS = 16
+    # max views fused per tile in whole-scene color inference
+    c.TPU_MAX_TILE_VIEWS = 16
 
     return c
 

@@ -73,7 +73,15 @@ def run_scenes(
         ):
             continue
         sample = dataset[idx]
-        det_out = si.detect(params, sample.data)
+        frames = None
+        if cfg.USE_IMAGES and sample.images is not None:
+            frames = {
+                "images": sample.images,
+                "depths": sample.depths,
+                "poses": sample.poses,
+                "world_to_grid": sample.world_to_grid,
+            }
+        det_out = si.detect(params, sample.data, frames=frames)
         masks = (
             si.predict_masks(params, sample.data, det_out) if with_masks else []
         )

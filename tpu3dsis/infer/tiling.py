@@ -85,6 +85,30 @@ class SceneInference:
         self._mask_fn = None
         if detector.mask_backbone is not None:
             self._mask_fn = jax.jit(self._build_mask_fn())
+        # color path: per-tile view selection + shared 2D features
+        self.max_tile_views = int(dict.get(cfg, "TPU_MAX_TILE_VIEWS", 16))
+        self._color_fns = None
+        if detector.color_projector is not None:
+
+            def feats_fn(params, images):
+                return detector.color_projector.image_features(params, images)
+
+            def tiled_color(
+                params, scenes, w2gs, feats2d, depths, poses, sel_idx, sel_valid
+            ):
+                def one(scene, w2g, idx, ok):
+                    frames = {
+                        "feats2d": feats2d[idx],
+                        "depths": depths[idx],
+                        "poses": poses[idx],
+                        "world_to_grid": w2g,
+                        "view_valid": ok,
+                    }
+                    return single(params, scene[None], frames)
+
+                return jax.vmap(one)(scenes, w2gs, sel_idx, sel_valid)
+
+            self._color_fns = (jax.jit(feats_fn), jax.jit(tiled_color))
 
     # --- mask on fixed crop canvas ---------------------------------------
     def _build_mask_fn(self):
@@ -104,9 +128,53 @@ class SceneInference:
 
         return mask_one
 
+    def _prepare_color(self, params, frames):
+        """Per-scene: ENet features for all views (bucketed V) + frusta."""
+        from tpu3dsis.models.color import frustum_bbox_grid
+
+        proj = self.det.color_projector
+        images = frames["images"]
+        v = images.shape[0]
+        vpad = ((v + 31) // 32) * 32  # bucket V to bound recompiles
+        feats_fn, _ = self._color_fns
+        feats = []
+        for i in range(0, vpad, 32):
+            blk = images[i : i + 32]
+            if blk.shape[0] < 32:
+                blk = np.concatenate(
+                    [blk, np.zeros((32 - blk.shape[0], *images.shape[1:]),
+                                   np.float32)]
+                )
+            feats.append(feats_fn(params, jnp.asarray(blk)))
+        feats2d = jnp.concatenate(feats, axis=0)
+        depths = np.concatenate(
+            [frames["depths"],
+             np.zeros((vpad - v, *frames["depths"].shape[1:]), np.float32)]
+        )
+        poses = np.concatenate(
+            [frames["poses"],
+             np.tile(np.eye(4, dtype=np.float32), (vpad - v, 1, 1))]
+        )
+        frusta = [
+            frustum_bbox_grid(
+                frames["poses"][i],
+                frames["world_to_grid"],
+                proj.intrinsic,
+                proj.depth_shape,
+                proj.depth_min,
+                proj.depth_max,
+            )
+            for i in range(v)
+        ]
+        return feats2d, jnp.asarray(depths), jnp.asarray(poses), frusta
+
     # --- main entry -------------------------------------------------------
-    def detect(self, params, scene_data: np.ndarray):
+    def detect(self, params, scene_data: np.ndarray, frames=None):
         """scene_data: (X, Y, Z, 2) encoded TSDF (host array).
+
+        frames (color configs): dict with images (V, H, W, C), depths,
+        poses, world_to_grid for the whole scene; each tile fuses only the
+        views whose frusta intersect it (up to TPU_MAX_TILE_VIEWS).
 
         Returns dict(pred_box (N,6), pred_class (N,), pred_conf (N,)) in
         scene voxel coords, stitched + deduplicated, sorted by confidence.
@@ -126,6 +194,29 @@ class SceneInference:
             ]
         )
 
+        use_color = self._color_fns is not None and frames is not None
+        if use_color:
+            from tpu3dsis.models.color import (
+                select_views_for_tile,
+                shift_world_to_grid,
+            )
+
+            feats2d, depths_d, poses_d, frusta = self._prepare_color(
+                params, frames
+            )
+            w2gs = np.stack(
+                [
+                    shift_world_to_grid(frames["world_to_grid"], o)
+                    for o in origins
+                ]
+            )
+            sel = [
+                select_views_for_tile(frusta, o, self.tile, self.max_tile_views)
+                for o in origins
+            ]
+            sel_idx = np.stack([s[0] for s in sel])
+            sel_valid = np.stack([s[1] for s in sel])
+
         boxes, classes, confs = [], [], []
         bs = self.tile_batch
         n = len(origins)
@@ -136,7 +227,27 @@ class SceneInference:
                 batch = np.concatenate(
                     [batch, np.zeros((bs - nb, *batch.shape[1:]), np.float32)]
                 )
-            out = self._tiled_fn(params, jnp.asarray(batch))
+            if use_color:
+                def padb(a, fill=0):
+                    out = a[i : i + bs]
+                    if out.shape[0] < bs:
+                        pad = np.zeros((bs - out.shape[0], *out.shape[1:]),
+                                       out.dtype)
+                        out = np.concatenate([out, pad])
+                    return out
+
+                out = self._color_fns[1](
+                    params,
+                    jnp.asarray(batch),
+                    jnp.asarray(padb(w2gs)),
+                    feats2d,
+                    depths_d,
+                    poses_d,
+                    jnp.asarray(padb(sel_idx)),
+                    jnp.asarray(padb(sel_valid)),
+                )
+            else:
+                out = self._tiled_fn(params, jnp.asarray(batch))
             ob = np.asarray(out["pred_box"])[:nb]
             ocls = np.asarray(out["cls_pred"])[:nb]
             oconf = np.asarray(out["pred_conf"])[:nb]

@@ -52,7 +52,18 @@ class ChunkValidator:
 
     def predict_chunk(self, params, sample_padded):
         """Run TEST forward on one padded chunk -> host numpy prediction dict."""
-        out = self._infer(params, jnp.asarray(sample_padded["data"])[None])
+        frames = None
+        if "images" in sample_padded:
+            frames = {
+                "images": jnp.asarray(sample_padded["images"]),
+                "depths": jnp.asarray(sample_padded["depths"]),
+                "poses": jnp.asarray(sample_padded["poses"]),
+                "world_to_grid": jnp.asarray(sample_padded["world_to_grid"]),
+                "view_valid": jnp.asarray(sample_padded["view_valid"]),
+            }
+        out = self._infer(
+            params, jnp.asarray(sample_padded["data"])[None], frames
+        )
         return {k: np.asarray(v) for k, v in out.items()}
 
     def masks_for_boxes(self, params, data, boxes, labels, batch=8):

@@ -32,6 +32,10 @@ class Sample:
     gt_mask: list  # N per-instance box-crop uint8 masks
     world_to_grid: np.ndarray  # (4, 4) float32
     frame_ids: np.ndarray  # (M,) uint32
+    # color pipeline (USE_IMAGES): per-frame arrays, ragged in V
+    images: np.ndarray | None = None  # (V, H, W, C) color/label images
+    depths: np.ndarray | None = None  # (V, Hd, Wd)
+    poses: np.ndarray | None = None  # (V, 4, 4) camera-to-world
 
 
 def encode_tsdf(sdf: np.ndarray, cfg: Config) -> np.ndarray:
@@ -141,6 +145,45 @@ class SceneDataset:
             gt_box = gt_box[keep]
             gt_mask = [gt_mask[i] for i in keep]
 
+        # --- nearest-image frames (dataset.py:135-187) ---
+        images = depths = poses = None
+        world_to_grid = raw.world_to_grid
+        if cfg.USE_IMAGES:
+            from tpu3dsis.io.frames import FrameSource
+
+            base = os.path.basename(path)
+            if cfg.BASE_IMAGE_PATH.rstrip("/").endswith("augmented"):
+                scene_name = (
+                    base.rsplit("_", 1)[0]
+                    if self.mode == "chunk"
+                    else base.split(".")[0]
+                )
+            elif cfg.BASE_IMAGE_PATH.rstrip("/").endswith("square"):
+                scene_name = base.split("__")[0]
+            else:
+                raise NotImplementedError(cfg.BASE_IMAGE_PATH)
+            src = FrameSource(cfg, scene_name)
+            if self.mode != "chunk":
+                fids = src.frame_ids()
+                world_to_grid = src.world_to_grid()  # pad -[10,16,10]
+            else:
+                fids = [int(f) for f in raw.frame_ids]
+                # train-time cap to NUM_IMAGES (dataloader.py:23-28)
+                cap = cfg.NUM_IMAGES
+                if cfg.RANDOM_NUM_IMAGES and cfg.MODE == "train":
+                    cap = np.random.randint(1, cfg.NUM_IMAGES + 1)
+                if cfg.MODE == "train":
+                    fids = fids[:cap]
+            ims, dps, pss = [], [], []
+            for fid in fids:
+                im, dp, ps = src.load_frame(fid, self.mapping, self.weights)
+                ims.append(im)
+                dps.append(dp)
+                pss.append(ps)
+            images = np.stack(ims) if ims else None
+            depths = np.stack(dps) if dps else None
+            poses = np.stack(pss) if pss else None
+
         # --- height crop (dataset.py:192-205) ---
         max_height = 480 if self.mode == "benchmark" else 48
         keep = [
@@ -157,8 +200,11 @@ class SceneDataset:
             data=data,
             gt_box=gt_box,
             gt_mask=gt_mask,
-            world_to_grid=raw.world_to_grid,
+            world_to_grid=world_to_grid,
             frame_ids=raw.frame_ids,
+            images=images,
+            depths=depths,
+            poses=poses,
         )
 
 
@@ -213,4 +259,22 @@ def pad_sample(sample: Sample, cfg: Config, with_mask_canvas: bool = True):
     }
     if with_mask_canvas:
         out["mask_canvas"] = paint_mask_canvas(sample)
+    if cfg.USE_IMAGES and sample.images is not None:
+        v = int(cfg.NUM_IMAGES)
+        nv = min(sample.images.shape[0], v)
+        images = np.zeros((v, *sample.images.shape[1:]), np.float32)
+        depths = np.zeros((v, *sample.depths.shape[1:]), np.float32)
+        poses = np.tile(np.eye(4, dtype=np.float32), (v, 1, 1))
+        view_valid = np.zeros((v,), bool)
+        images[:nv] = sample.images[:nv]
+        depths[:nv] = sample.depths[:nv]
+        poses[:nv] = sample.poses[:nv]
+        view_valid[:nv] = True
+        out.update(
+            images=images,
+            depths=depths,
+            poses=poses,
+            view_valid=view_valid,
+            world_to_grid=sample.world_to_grid,
+        )
     return out

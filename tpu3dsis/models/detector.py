@@ -58,6 +58,11 @@ class Detector:
         self.mask_backbone = (
             MaskBackboneArch(cfg) if cfg.USE_MASK and cfg.MASK_BACKBONE else None
         )
+        self.color_projector = None
+        if cfg.USE_IMAGES:
+            from tpu3dsis.models.color import ColorProjector
+
+            self.color_projector = ColorProjector(cfg)
         nc = self.cfg_static["num_classes"]
         self.class_heads = [
             Linear("classifier_cls_score_net", 128, nc),
@@ -91,6 +96,9 @@ class Detector:
         if self.mask_backbone is not None:
             key, k5 = jax.random.split(key)
             params.update(self.mask_backbone.init_params(k5))
+        if self.color_projector is not None:
+            key, k6 = jax.random.split(key)
+            params.update(self.color_projector.init_params(k6))
         return params
 
     def param_names(self):
@@ -102,6 +110,8 @@ class Detector:
             names += spec_param_names(self.bbox_heads)
         if self.mask_backbone is not None:
             names += self.mask_backbone.param_names()
+        if self.color_projector is not None:
+            names += self.color_projector.param_names()
         return names
 
     # --- anchors (host, cached per scene shape; network.py:248-258) ------
@@ -189,7 +199,24 @@ def build_inference_fn(detector: Detector, cfg, scene_shape, mode="TEST"):
     level_anchors = detector.level_anchors(scene_shape)
     shape_arr = tuple(int(s) for s in scene_shape)
 
-    def infer(params, scene, imageft=None):
+    use_images = detector.cfg_static["use_images"]
+
+    def infer(params, scene, frames=None):
+        """frames (only when USE_IMAGES): dict with images (V, H, W, C),
+        depths (V, Hd, Wd), poses (V, 4, 4), world_to_grid (4, 4),
+        view_valid (V,) — the color volume is computed on-device."""
+        imageft = None
+        if use_images and frames is not None:
+            imageft = detector.color_projector.project(
+                params,
+                frames.get("images"),
+                frames["depths"],
+                frames["poses"],
+                frames["world_to_grid"],
+                shape_arr,
+                view_valid=frames.get("view_valid"),
+                feats=frames.get("feats2d"),
+            )[None]
         feats = detector.features(params, scene, imageft)
         rpn_out = detector.rpn_forward(params, feats)
         prop = select_proposals(

@@ -30,7 +30,7 @@ class TrainState(NamedTuple):
     opt: SGDState
 
 
-def _mask_forward_scan(detector, params, scene, region_masks, chunk=4):
+def _mask_forward_scan(detector, params, scene, region_masks, imageft=None, chunk=4):
     """Run the mask FCN over M region-masked copies of the scene.
 
     Statically-unrolled blocks of `chunk` rois bound transient memory (the
@@ -44,9 +44,13 @@ def _mask_forward_scan(detector, params, scene, region_masks, chunk=4):
     def one_block(masks):
         # masks: (chunk, X, Y, Z)
         x = scene[None] * masks[..., None]
+        ift = None
+        if imageft is not None:
+            ift = imageft[None] * masks[..., None]
         return detector.mask_backbone.apply(
             params,
             x,
+            imageft=ift,
             training=True,
             region_mask=masks[..., None],
             compute_dtype=detector.cfg_static["compute_dtype"],
@@ -79,6 +83,8 @@ def build_loss_fn(detector: Detector, cfg, scene_shape):
     nms_thresh = float(cfg.TRAIN.RPN_NMS_THRESH)
     max_mask_rois = int(getattr_cfg(cfg, "TPU_MAX_MASK_ROIS", 16))
     use_mask = bool(cfg.USE_MASK) and detector.mask_backbone is not None
+    use_images = bool(cfg.USE_IMAGES)
+    mask_use_images = bool(cfg.MASK_USE_IMAGES)
     fix_rpn = bool(cfg.FIX_RPN)
     fix_class = bool(cfg.FIX_CLASS) and not cfg.NYUV2_FINETUNE
 
@@ -88,7 +94,19 @@ def build_loss_fn(detector: Detector, cfg, scene_shape):
         gt_valid = sample["gt_valid"]
         k_anchor, k_prop = jax.random.split(key)
 
-        feats = detector.features(params, scene)
+        imageft = None
+        if use_images:
+            imageft = detector.color_projector.project(
+                params,
+                sample["images"],
+                sample["depths"],
+                sample["poses"],
+                sample["world_to_grid"],
+                shape_t,
+                view_valid=sample["view_valid"],
+            )[None]
+
+        feats = detector.features(params, scene, imageft)
         rpn_out = detector.rpn_forward(params, feats)
 
         metrics = {}
@@ -164,7 +182,11 @@ def build_loss_fn(detector: Detector, cfg, scene_shape):
                 mtargets["rois"]
             )
             mask_logits = _mask_forward_scan(
-                detector, params, sample["data"], regions
+                detector,
+                params,
+                sample["data"],
+                regions,
+                imageft=imageft[0] if (mask_use_images and imageft is not None) else None,
             )
             lm = L.mask_loss(
                 mask_logits,
