@@ -1,0 +1,160 @@
+"""Datagen: TSDF fusion, rotations, chunk sampling, format round-trips."""
+
+import numpy as np
+
+from tpu3dsis.datagen import scene_sampler as ss
+from tpu3dsis.datagen import tsdf_fusion as tf
+
+
+def test_rotate_mask_matches_index_oracle(rng):
+    for rot in range(4):
+        mask = (rng.rand(5, 3, 4) > 0.5).astype(np.uint16)
+        got = ss.rotate_mask(mask, rot)
+        expect = ss._rotate_grid_index_math(mask, rot)
+        np.testing.assert_array_equal(got, expect), rot
+
+
+def test_scsdf_and_aabbs_roundtrip(tmp_path, rng):
+    sdf = rng.randn(10, 8, 12).astype(np.float32)
+    p = str(tmp_path / "s.scsdf")
+    tf.save_scsdf(p, sdf, 0.046875, (0, 0, 0), (0.5, 0.4, 0.6))
+    grid, vs, bmin, bmax = tf.load_scsdf(p)
+    np.testing.assert_array_equal(grid, sdf)
+    assert abs(vs - 0.046875) < 1e-7
+
+    boxes = np.array([[1, 1, 1, 4, 3, 5]], np.float32)
+    labels = np.array([5])
+    masks = [np.ones((3, 2, 4), np.uint16)]
+    ap = str(tmp_path / "s.aabbs")
+    tf.save_aabbs(ap, boxes, labels, masks)
+    b2, l2, m2 = tf.load_aabbs(ap)
+    np.testing.assert_allclose(b2, boxes)
+    np.testing.assert_array_equal(l2, labels)
+    np.testing.assert_array_equal(m2[0], masks[0])
+
+
+def test_tsdf_fusion_flat_wall(rng):
+    """Fuse a synthetic frontal view of a wall at z=1m; the zero crossing
+    must land at the wall and sdf must be normalized to voxel units."""
+    voxel = 0.05
+    K = np.eye(4)
+    K[0, 0] = K[1, 1] = 50.0
+    K[0, 2], K[1, 2] = 32, 24
+    pose = np.eye(4)  # camera at origin looking +z
+    depth = np.full((48, 64), 1.0, np.float32)
+    label = np.full((48, 64), 7, np.uint8)
+    inst = np.full((48, 64), 2, np.uint8)
+
+    grid, w2g = tf.fuse_scene(
+        [(K, pose, depth, label, inst)],
+        ((-0.3, -0.3, 0.5), (0.3, 0.3, 1.3)),
+        voxel_size=voxel,
+        pad=4,
+    )
+    assert (grid.weight > 0).any()
+    obs = grid.sdf[np.isfinite(grid.sdf)]
+    assert obs.size > 0
+    # normalized units: magnitudes are in voxels, truncation ~< 3.5 + eps
+    assert np.abs(obs).max() <= (2.5 + 4.0) + 1e-3
+    # voxels at the wall (world z ~ 1.0) have |sdf| small and carry labels
+    zs_world = (np.arange(grid.dims[2]) + 0.5 - 0)  # via inverse transform
+    wall_mask = np.abs(grid.sdf) <= 1.0
+    assert wall_mask.any()
+    assert (grid.label[wall_mask & (grid.label > 0)] == 7).all()
+    # the instance mask extraction finds the wall voxels
+    lo = np.array(np.nonzero(wall_mask)).min(axis=1)
+    hi = np.array(np.nonzero(wall_mask)).max(axis=1) + 1
+    mask, occ, total = grid.instance_mask_for_aabb(
+        np.concatenate([lo, hi]), 2
+    )
+    assert occ > 0 and occ <= total
+
+
+def np_extract_chunk_oracle(grid, start, rot, dim):
+    """Direct port of the extractChunk data loop (main.cpp:322-337)."""
+    grid_dim = np.asarray(grid.shape)
+    rot_grid_dim = ss._rot_coord(grid_dim, rot)
+    offset = np.zeros(3, int)
+    for i in (0, 2):
+        if rot_grid_dim[i] < 0:
+            offset[i] = -rot_grid_dim[i]
+    out = np.full(tuple(dim), -np.inf, np.float32)
+    for x in range(dim[0]):
+        for y in range(dim[1]):
+            for z in range(dim[2]):
+                loc = -offset + np.asarray(start) + np.array([x, y, z])
+                coord = ss._rot_coord(loc, 4 - rot if rot else 0)
+                if rot == 1:
+                    coord[0] -= 1
+                elif rot == 2:
+                    coord[0] -= 1
+                    coord[2] -= 1
+                elif rot == 3:
+                    coord[2] -= 1
+                if (coord >= 0).all() and (coord < grid_dim).all():
+                    out[x, y, z] = grid[coord[0], coord[1], coord[2]]
+    return out
+
+
+def test_extract_chunk_rotations_match_reference_math(rng):
+    grid = rng.randn(14, 6, 10).astype(np.float32)
+    dim = (6, 6, 6)
+    for rot in range(4):
+        data, _ = ss.extract_chunk(grid, [], [], [], (2, 0, 1), rot, dim)
+        expect = np_extract_chunk_oracle(grid, (2, 0, 1), rot, dim)
+        np.testing.assert_array_equal(data, expect), f"rot {rot}"
+
+
+def test_process_scene_chunks_end_to_end(tmp_path, rng):
+    """scsdf+aabbs -> .chunk files loadable by the training dataset."""
+    gd = (40, 80, 40)  # will produce 96-chunks clamped? use small chunk dim
+    sdf = rng.randn(*gd).astype(np.float32) * 5
+    sdf[10:20, 18:26, 12:22] = 0.5  # object surface region
+    scsdf = str(tmp_path / "scene.scsdf")
+    tf.save_scsdf(scsdf, sdf, 0.046875, (0, 0, 0), (1, 2, 1))
+    boxes = np.array([[10, 18, 12, 20, 26, 22]], np.float32)
+    masks = [np.ones((10, 8, 10), np.uint16)]
+    aabbs = str(tmp_path / "scene.aabbs")
+    tf.save_aabbs(aabbs, boxes, np.array([5]), masks)
+
+    written = ss.process_scene_chunks(
+        scsdf, aabbs, str(tmp_path / "chunk_"), depths=None, poses=None,
+        chunk_dim=(24, 24, 24), sample_factor=8, rotate90=True,
+        require_images=False,
+    )
+    assert len(written) > 0
+    from tpu3dsis.io import read_chunk_file
+
+    raw = read_chunk_file(written[0])
+    assert raw.sdf.shape == (24, 24, 24)
+    assert raw.boxes.shape[0] >= 1
+    assert len(raw.masks) == raw.boxes.shape[0]
+
+    # whole-scene export
+    scene_path = ss.process_scene(scsdf, aabbs, str(tmp_path / "a.scene"))
+    raw2 = read_chunk_file(scene_path)
+    assert raw2.sdf.shape == (gd[0] - 20, 80 - 26, gd[2] - 20)
+
+
+def test_find_nearest_images_coverage(rng):
+    """A frame looking at the object must be selected."""
+    chunk_dim = (16, 16, 16)
+    voxel = 0.25
+    box = np.array([4, 4, 4, 12, 12, 12], np.float32)
+    mask = np.ones((8, 8, 8), np.uint16)
+    sel = [(box, 5, mask, 1.0)]
+    # chunk->world: identity scale voxel, origin at 0 => voxel v at v*0.25m
+    c2w = np.diag([voxel, voxel, voxel, 1.0])
+    K = ss.nearest_image_intrinsic()
+    # camera at world (-1.5, 1.0, 1.0) looking +x toward the object center
+    pose = np.array(
+        [[0, 0, 1, -1.5], [0, 1, 0, 1.0], [1, 0, 0, 1.0], [0, 0, 0, 1]],
+        np.float64,
+    )
+    # depth image consistent with the box front face at x=1.0m -> 2.5m away
+    good_depth = np.full((60, 80), 2.5, np.float32)
+    bad_depth = np.full((60, 80), 0.2, np.float32)  # too close: no hits
+    chosen = ss.find_nearest_images(
+        sel, c2w, voxel, chunk_dim, [bad_depth, good_depth], [pose, pose], 2
+    )
+    assert 1 in chosen and 0 not in chosen
