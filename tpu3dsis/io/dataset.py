@@ -79,7 +79,10 @@ class SceneDataset:
     """Filelist-driven dataset over `.chunk`/`.scene` files.
 
     mode in {"chunk", "scene", "benchmark"} — same height-crop / filtering
-    table as the reference (``dataset.py:23-30``).
+    table as the reference (``dataset.py:23-30``). ``load_fast`` is a
+    native-decoder training path (C++ one-pass decode+encode+canvas,
+    tpu3dsis/runtime) that falls back to :meth:`load` whenever its output
+    would differ (box filtering, frames, per-instance masks needed).
     """
 
     def __init__(self, data_location: str, mode: str, cfg: Config):
@@ -206,6 +209,60 @@ class SceneDataset:
             depths=depths,
             poses=poses,
         )
+
+
+def load_fast_padded(dataset: SceneDataset, path: str, cfg: Config):
+    """Native-decoder fast path -> padded training dict, or None to fall back.
+
+    Valid only for chunk-mode geometry training (no frames, canvas instead
+    of per-instance masks). Returns None when a gt box would be filtered
+    (KEEP_THRESH / zero weight / height crop) so the canvas from the native
+    painter (which paints ALL file boxes) would disagree with the reference
+    semantics of painting only kept boxes.
+    """
+    if cfg.USE_IMAGES or dataset.mode != "chunk":
+        return None
+    try:
+        from tpu3dsis.runtime import decode_chunk_native
+    except Exception:
+        return None
+    mode = 1 if cfg.FLIP_TSDF else (2 if cfg.LOG_TSDF else 0)
+    out = decode_chunk_native(path, float(cfg.TRUNCATED), mode)
+    if out is None:
+        return None
+    n = out["boxes"].shape[0]
+    if n == 0 or n > int(cfg.TPU_MAX_GT):
+        return None
+    gt_box = np.zeros((n, 7), np.float32)
+    gt_box[:, :3] = np.floor(out["boxes"][:, :3])
+    gt_box[:, 3:6] = np.ceil(out["boxes"][:, 3:6])
+    for i in range(n):
+        label = int(out["labels"][i])
+        if dataset.mapping is not None:
+            label = dataset.mapping[label]
+        gt_box[i, 6] = label
+        if cfg.KEEP_THRESH or cfg.USE_IMAGES:
+            frac = _box_fraction_in_chunk(gt_box[i])
+            if frac < cfg.KEEP_THRESH or (
+                dataset.weights is not None
+                and dataset.weights[label] == 0
+            ):
+                return None  # a drop changes the canvas: numpy path
+        if gt_box[i, 1] > 48 or gt_box[i, 4] > 48:
+            return None
+    max_gt = int(cfg.TPU_MAX_GT)
+    boxes = np.zeros((max_gt, 7), np.float32)
+    boxes[:, :3] = -1e4
+    boxes[:, 3:6] = -1e4 + 1.0
+    boxes[:n] = gt_box
+    valid = np.zeros((max_gt,), bool)
+    valid[:n] = True
+    return {
+        "data": out["data"][:, :48],
+        "gt_box": boxes,
+        "gt_valid": valid,
+        "mask_canvas": out["mask_canvas"][:, :48],
+    }
 
 
 def paint_mask_canvas(sample: Sample, shape=None) -> np.ndarray:

@@ -46,9 +46,16 @@ class PrefetchLoader:
         return max(1, len(self.dataset) // self.batch_size)
 
     def _load_one(self, idx):
+        path = self.dataset.scenes[idx]
         try:
+            if self.with_mask_canvas:
+                from tpu3dsis.io.dataset import load_fast_padded
+
+                fast = load_fast_padded(self.dataset, path, self.cfg)
+                if fast is not None:
+                    return fast
             sample = self.dataset[idx]
-        except Exception as e:  # corrupt file: skip (reference crashes)
+        except Exception:  # corrupt file: skip (reference crashes)
             return None
         if self.drop_empty and sample.gt_box.shape[0] == 0:
             return None
