@@ -125,3 +125,20 @@ def test_roi_pool_gradient_flows(rng):
     g = jax.grad(loss)(feat)
     assert np.isfinite(np.asarray(g)).all()
     assert np.asarray(g).sum() > 0
+
+
+def test_roi_pool_tabled_equals_reference_random(rng):
+    """Production range-max-table path vs the direct masked version."""
+    from tpu3dsis.ops.roi_pool3d import roi_pool3d_reference
+
+    feat = rng.randn(24, 12, 24, 8).astype(np.float32)
+    lo = rng.uniform(0, 90, (64, 3))
+    hi = lo + rng.uniform(1, 60, (64, 3))
+    rois = np.clip(
+        np.concatenate([lo, hi], 1), 0, [96, 48, 96, 96, 48, 96]
+    ).astype(np.float32)
+    a = np.asarray(roi_pool3d(jnp.asarray(feat), jnp.asarray(rois), 4, 0.25))
+    b = np.asarray(
+        roi_pool3d_reference(jnp.asarray(feat), jnp.asarray(rois), 4, 0.25)
+    )
+    np.testing.assert_array_equal(a, b)

@@ -154,7 +154,9 @@ class Detector:
         """
         dt = self.cfg_static["compute_dtype"]
         level_list = sorted(feats.keys())
-        feat_tuple = tuple(feats[l][0] for l in level_list)
+        # pool at the compute dtype: max-pooling is order-exact in bf16 and
+        # the pool is bandwidth-bound
+        feat_tuple = tuple(feats[l][0].astype(dt) for l in level_list)
         scales = tuple(1.0 / FEAT_STRIDE[l - 1] for l in level_list)
         pool5 = roi_pool3d_multilevel(
             feat_tuple, rois, level_inds, self.cfg_static["pooling_size"], scales
