@@ -142,3 +142,22 @@ def test_roi_pool_tabled_equals_reference_random(rng):
         roi_pool3d_reference(jnp.asarray(feat), jnp.asarray(rois), 4, 0.25)
     )
     np.testing.assert_array_equal(a, b)
+
+
+def test_roi_pool_pallas_interpret_parity(rng):
+    """Pallas TPU kernel (interpret mode on CPU) == XLA path."""
+    from tpu3dsis.ops.roi_pool3d_pallas import roi_pool3d_pallas
+
+    feat = rng.randn(24, 12, 24, 8).astype(np.float32)
+    lo = rng.uniform(0, 90, (16, 3))
+    hi = lo + rng.uniform(1, 60, (16, 3))
+    rois = np.clip(
+        np.concatenate([lo, hi], 1), 0, [96, 48, 96, 96, 48, 96]
+    ).astype(np.float32)
+    a = np.asarray(roi_pool3d(jnp.asarray(feat), jnp.asarray(rois), 4, 0.25))
+    b = np.asarray(
+        roi_pool3d_pallas(
+            jnp.asarray(feat), jnp.asarray(rois), 4, 0.25, interpret=True
+        )
+    )
+    np.testing.assert_array_equal(a, b)
