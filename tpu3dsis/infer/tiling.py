@@ -113,20 +113,29 @@ class SceneInference:
     # --- mask on fixed crop canvas ---------------------------------------
     def _build_mask_fn(self):
         det = self.det
-        canvas = self.tile
 
-        def mask_one(params, crop, region, label):
-            # crop: (X, Y, Z, 2) canvas slice; region: (X, Y, Z)
-            logits = det.mask_backbone.apply(
-                params,
-                (crop * region[..., None])[None],
-                training=False,  # sigmoid applied (backbones.py:285-287)
-                region_mask=region[None, ..., None],
-                compute_dtype=det.cfg_static["compute_dtype"],
-            )
-            return logits[0, :, :, :, label]
+        def mask_batch(params, crops, regions, labels):
+            """crops: (M, X, Y, Z, 2); regions: (M, X, Y, Z); labels: (M,).
 
-        return mask_one
+            lax.map keeps transient memory at one-canvas scale; one dispatch
+            serves a whole batch of boxes (the tunnel RTT dominates
+            per-box dispatches otherwise).
+            """
+
+            def one(args):
+                crop, region, label = args
+                probs = det.mask_backbone.apply(
+                    params,
+                    (crop * region[..., None])[None],
+                    training=False,  # sigmoid applied (backbones.py:285-287)
+                    region_mask=region[None, ..., None],
+                    compute_dtype=det.cfg_static["compute_dtype"],
+                )
+                return probs[0, :, :, :, label]
+
+            return jax.lax.map(one, (crops, regions, labels))
+
+        return mask_batch
 
     def _prepare_color(self, params, frames):
         """Per-scene: ENet features for all views (bucketed V) + frusta."""
@@ -310,10 +319,13 @@ class SceneInference:
         return np.array(keep, np.int64)
 
     # --- masks ------------------------------------------------------------
-    def predict_masks(self, params, scene_data: np.ndarray, det_out: dict):
+    def predict_masks(self, params, scene_data: np.ndarray, det_out: dict,
+                      batch: int = 16):
         """Per kept box: sigmoid mask of the predicted class, thresholded.
 
-        Returns list of (bw, bh, bl) uint8 box-crop masks (reference
+        Crops are gathered on the host and run through the mask FCN in
+        fixed-size device batches (one dispatch per `batch` boxes). Returns
+        a list of (bw, bh, bl) uint8 box-crop masks (reference
         trainval.py:755-762 artifact semantics).
         """
         if self._mask_fn is None:
@@ -321,36 +333,59 @@ class SceneInference:
         tx, ty, tz = self.tile
         data = pad_volume(scene_data.astype(np.float32), self.tile)
         sx, sy, sz = data.shape[:3]
-        masks = []
-        for box, cls in zip(det_out["pred_box"], det_out["pred_class"]):
+
+        n = len(det_out["pred_box"])
+        crops = np.zeros((n, tx, ty, tz, 2), np.float32)
+        regions = np.zeros((n, tx, ty, tz), np.float32)
+        labels = np.zeros((n,), np.int32)
+        locals_ = []
+        for i, (box, cls) in enumerate(
+            zip(det_out["pred_box"], det_out["pred_class"])
+        ):
             r = np.round(box).astype(int)
-            # canvas window containing the (clamped-to-canvas-size) box
             bsz = np.minimum(r[3:] - r[:3], [tx, ty, tz])
             start = np.clip(r[:3], 0, [sx - tx, sy - ty, sz - tz])
-            # ensure the box (up to canvas size) fits the window
             start = np.minimum(start, np.maximum(r[:3] + bsz - [tx, ty, tz], 0))
-            crop = data[
+            crops[i] = data[
                 start[0] : start[0] + tx,
                 start[1] : start[1] + ty,
                 start[2] : start[2] + tz,
             ]
             local = np.concatenate([r[:3] - start, r[:3] - start + bsz])
-            region = np.zeros((tx, ty, tz), np.float32)
-            region[
-                local[0] : local[3], local[1] : local[4], local[2] : local[5]
+            regions[
+                i, local[0] : local[3], local[1] : local[4], local[2] : local[5]
             ] = 1.0
-            prob = np.asarray(
+            labels[i] = int(cls)
+            locals_.append((local, tuple(r[3:] - r[:3])))
+
+        # bucket the batch size to powers of two (<= 5 compiled shapes) so
+        # small scenes don't pay for a full padded batch
+        if n:
+            batch = min(batch, 1 << (max(n - 1, 0)).bit_length())
+        masks = []
+        for i in range(0, n, batch):
+            m = min(batch, n - i)
+            cb = crops[i : i + batch]
+            rb = regions[i : i + batch]
+            lb = labels[i : i + batch]
+            if m < batch:  # keep one compiled shape
+                pad = batch - m
+                cb = np.concatenate([cb, np.zeros((pad, tx, ty, tz, 2), np.float32)])
+                rb = np.concatenate([rb, np.zeros((pad, tx, ty, tz), np.float32)])
+                lb = np.concatenate([lb, np.zeros((pad,), np.int32)])
+            probs = np.asarray(
                 self._mask_fn(
-                    params, jnp.asarray(crop), jnp.asarray(region), int(cls)
+                    params, jnp.asarray(cb), jnp.asarray(rb), jnp.asarray(lb)
                 )
-            )
-            m = prob[
-                local[0] : local[3], local[1] : local[4], local[2] : local[5]
-            ]
-            full_size = tuple(r[3:] - r[:3])
-            out = np.zeros(full_size, np.uint8)
-            out[: m.shape[0], : m.shape[1], : m.shape[2]] = (
-                m >= self.cfg.MASK_THRESH
-            ).astype(np.uint8)
-            masks.append(out)
+            )[:m]
+            for j in range(m):
+                local, full_size = locals_[i + j]
+                crop = probs[j][
+                    local[0] : local[3], local[1] : local[4], local[2] : local[5]
+                ]
+                out = np.zeros(full_size, np.uint8)
+                out[: crop.shape[0], : crop.shape[1], : crop.shape[2]] = (
+                    crop >= self.cfg.MASK_THRESH
+                ).astype(np.uint8)
+                masks.append(out)
         return masks
