@@ -97,6 +97,30 @@ class ChunkValidator:
                 )
         return masks
 
+    def _dump_artifacts(self, save_dir, sample, out, keep, pred_masks):
+        """VAL_SAVE_DIR artifact dumps for the first VAL_NUM chunks
+        (trainval.py:543-556, 589-592 format)."""
+        import os
+        import pickle
+
+        d = os.path.join(save_dir, os.path.basename(sample.sample_id)[:12])
+        os.makedirs(d, exist_ok=True)
+        np.save(os.path.join(d, "pred_class.npy"), out["cls_pred"])
+        np.save(os.path.join(d, "pred_conf.npy"), out["pred_conf"])
+        np.save(os.path.join(d, "pred_box.npy"), out["pred_box"])
+        np.save(
+            os.path.join(d, "scene.npy"),
+            np.where(sample.data[..., 0] <= 1, 1, 0),
+        )
+        np.save(os.path.join(d, "gt_class.npy"), sample.gt_box[:, 6])
+        np.save(os.path.join(d, "gt_box.npy"), sample.gt_box[:, :6])
+        with open(os.path.join(d, "pred_mask"), "wb") as f:
+            pickle.dump(pred_masks, f)
+        with open(os.path.join(d, "pred_mask_index"), "wb") as f:
+            pickle.dump(keep.tolist(), f)
+        with open(os.path.join(d, "gt_mask"), "wb") as f:
+            pickle.dump(sample.gt_mask, f)
+
     def run(self, params, dataset, max_samples=None, save_dir=None, logger=None, step=0):
         cfg = self.cfg
         map_rpn = DetectionMAP(1, overlap_threshold=cfg.MAP_THRESH)
@@ -150,6 +174,7 @@ class ChunkValidator:
             )
 
             # --- mask mAP (trainval.py:563-607) ---
+            pred_masks = []
             if self._mask_fn is not None:
                 pred_masks = self.masks_for_boxes(
                     params,
@@ -157,6 +182,9 @@ class ChunkValidator:
                     out["pred_box"][keep],
                     out["cls_pred"][keep],
                 )
+            if save_dir is not None and n_eval <= int(cfg.VAL_NUM):
+                self._dump_artifacts(save_dir, sample, out, keep, pred_masks)
+            if self._mask_fn is not None:
                 map_mask.evaluate_mask(
                     out["pred_box"][keep],
                     out["cls_pred"][keep],

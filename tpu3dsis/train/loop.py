@@ -161,7 +161,8 @@ class Trainer:
                     continue
                 ds = SceneDataset(filelist, "chunk", cfg)
                 res = validator.run(
-                    params_np, ds, max_samples=cfg.VAL_NUM, logger=logger,
+                    params_np, ds, max_samples=cfg.VAL_NUM,
+                    save_dir=cfg.VAL_SAVE_DIR or None, logger=logger,
                     step=step,
                 )
                 print(f"[{mode}] step {step}: {res}")
