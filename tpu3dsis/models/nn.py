@@ -26,32 +26,40 @@ CONV_DIMSPEC = ("NDHWC", "DHWIO", "NDHWC")
 
 
 def conv3d(x, w, b=None, stride=1, padding=0, compute_dtype=jnp.float32):
-    """3D convolution, channels-last, fp32 accumulation."""
+    """3D convolution, channels-last.
+
+    float32 mode: explicit fp32 accumulation (checkpoint-parity path).
+    bfloat16 mode: native bf16 in/out — the MXU still accumulates fp32
+    internally, and requesting preferred_element_type=f32 on bf16 inputs
+    breaks the conv VJP's same-dtype requirement under grad.
+    """
     if isinstance(stride, int):
         stride = (stride,) * 3
     if isinstance(padding, int):
         padding = [(padding, padding)] * 3
+    preferred = jnp.float32 if compute_dtype == jnp.float32 else None
     y = jax.lax.conv_general_dilated(
         x.astype(compute_dtype),
         w.astype(compute_dtype),
         window_strides=stride,
         padding=padding,
         dimension_numbers=CONV_DIMSPEC,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=preferred,
     )
     if b is not None:
-        y = y + b.astype(jnp.float32)
+        y = y + b.astype(y.dtype)
     return y
 
 
 def linear(x, w, b=None, compute_dtype=jnp.float32):
+    preferred = jnp.float32 if compute_dtype == jnp.float32 else None
     y = jnp.dot(
         x.astype(compute_dtype),
         w.astype(compute_dtype),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=preferred,
     )
     if b is not None:
-        y = y + b.astype(jnp.float32)
+        y = y + b.astype(y.dtype)
     return y
 
 

@@ -105,6 +105,10 @@ def build_loss_fn(detector: Detector, cfg, scene_shape):
                 shape_t,
                 view_valid=sample["view_valid"],
             )[None]
+            if bool(cfg.FIX_ENET):
+                # frozen ENet (every shipped config): skip its backward pass
+                # entirely — grads into imageft would only reach ENet params
+                imageft = jax.lax.stop_gradient(imageft)
 
         feats = detector.features(params, scene, imageft)
         rpn_out = detector.rpn_forward(params, feats)
