@@ -161,3 +161,24 @@ def test_roi_pool_pallas_interpret_parity(rng):
         )
     )
     np.testing.assert_array_equal(a, b)
+
+
+def test_nms_tiled_multi_tile_matches_oracle(rng):
+    """Cross-tile + sandwich self-suppression path (N > tile)."""
+    from tpu3dsis.ops.nms import nms_mask_scan
+
+    boxes = rand_boxes(rng, 300, scale=60.0)
+    for thresh in (0.1, 0.35):
+        expect = np_greedy_nms(boxes, thresh)
+        keep = np.asarray(nms_mask(jnp.asarray(boxes), thresh, tile=64))
+        np.testing.assert_array_equal(np.where(keep)[0], expect)
+        scan = np.asarray(nms_mask_scan(jnp.asarray(boxes), thresh))
+        np.testing.assert_array_equal(keep, scan)
+    # with validity padding crossing tile boundaries
+    valid = np.ones(300, bool); valid[200:] = False
+    expect = np_greedy_nms(boxes[:200], 0.3)
+    keep = np.asarray(
+        nms_mask(jnp.asarray(boxes), 0.3, jnp.asarray(valid), tile=64)
+    )
+    assert not keep[200:].any()
+    np.testing.assert_array_equal(np.where(keep[:200])[0], expect)

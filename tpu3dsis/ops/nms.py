@@ -22,17 +22,11 @@ import jax.numpy as jnp
 from tpu3dsis.geometry.boxes import nms_overlap
 
 
-def nms_mask(boxes, thresh, valid=None):
-    """Greedy NMS keep mask.
+def nms_mask_scan(boxes, thresh, valid=None):
+    """Greedy NMS keep mask via a length-N sequential keep scan.
 
-    Args:
-      boxes: (N, 6) corner boxes sorted by descending score.
-      thresh: IoU suppression threshold (static or traced scalar).
-      valid: optional (N,) bool; invalid boxes are never kept and never
-        suppress anything (used to pad to a static N).
-
-    Returns:
-      (N,) bool keep mask.
+    Simple and exact; superseded by :func:`nms_mask` (tiled, far fewer
+    sequential steps) but kept as the readable oracle-style implementation.
     """
     n = boxes.shape[0]
     ov = nms_overlap(boxes, boxes)  # (N, N)
@@ -54,6 +48,93 @@ def nms_mask(boxes, thresh, valid=None):
     keep = jax.lax.fori_loop(0, n, body, keep0)
     if valid is not None:
         keep = keep & valid
+    return keep
+
+
+def _self_suppress_tile(sup_tri, init_suppressed):
+    """Exact greedy keep within one tile given already-suppressed rows.
+
+    sup_tri: (B, B) bool, strict upper-triangular 'i would suppress j'.
+
+    The greedy keep vector is the unique fixpoint of the ANTITONE map
+        g(keep)[j] = eligible[j] and not any_i(sup_tri[i, j] and keep[i]).
+    Antitone maps admit a certified sandwich iteration: maintain bounds
+    l <= fix <= u and update (l, u) <- (g(u), g(l)); the earliest undecided
+    index always has a fully decided prefix, so >= 1 new prefix element is
+    certified per round (exact in <= B rounds, typically a handful).
+    Returns the suppressed mask (~keep among eligible).
+    """
+    eligible = ~init_suppressed
+
+    def g(keep):
+        return eligible & ~jnp.any(sup_tri & keep[:, None], axis=0)
+
+    def cond(state):
+        l, u = state
+        return jnp.any(l != u)
+
+    def body(state):
+        l, u = state
+        return g(u), g(l)
+
+    l0 = jnp.zeros_like(eligible)
+    u0 = eligible
+    l, u = jax.lax.while_loop(cond, body, (g(u0), g(l0)))
+    return ~l
+
+
+def nms_mask(boxes, thresh, valid=None, tile: int = 128):
+    """Greedy NMS keep mask — tiled exact algorithm.
+
+    Identical output to the sequential scan (and the reference CUDA+host
+    greedy NMS), but the sequential depth drops from N to
+    O(N/B * (N/B + log B)): cross-tile suppression is a batched matrix test
+    against previously-resolved tiles; within-tile resolution uses the
+    monotone fixpoint iteration (the same idea as TF's padded NMS kernel).
+
+    Args:
+      boxes: (N, 6) corner boxes sorted by descending score.
+      thresh: IoU suppression threshold.
+      valid: optional (N,) bool; invalid boxes are never kept and never
+        suppress anything.
+      tile: static tile size.
+    """
+    n = boxes.shape[0]
+    if n <= tile:
+        ntiles = 1
+        b = n
+        pad = 0
+    else:
+        b = tile
+        ntiles = -(-n // b)
+        pad = ntiles * b - n
+    if pad:
+        boxes = jnp.concatenate(
+            [boxes, jnp.full((pad, 6), -1e8, boxes.dtype)], 0
+        )
+        if valid is None:
+            valid = jnp.arange(n + pad) < n
+        else:
+            valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)])
+    if valid is None:
+        valid = jnp.ones((n,), bool)
+
+    tiles = boxes.reshape(ntiles, b, 6)
+    valid_t = valid.reshape(ntiles, b)
+    keeps = []
+    for ti in range(ntiles):
+        cur = tiles[ti]
+        cross = jnp.zeros((b,), bool)
+        for tj in range(ti):
+            ov = nms_overlap(tiles[tj], cur)  # (B, B)
+            cross = cross | jnp.any(keeps[tj][:, None] & (ov > thresh), axis=0)
+        ov_self = nms_overlap(cur, cur) > thresh
+        idx = jnp.arange(b)
+        tri = ov_self & (idx[:, None] < idx[None, :])
+        tri = tri & valid_t[ti][:, None] & valid_t[ti][None, :]
+        suppressed = _self_suppress_tile(tri, cross | ~valid_t[ti])
+        keeps.append(~suppressed & valid_t[ti])
+    keep = jnp.concatenate(keeps)[:n]
     return keep
 
 
