@@ -15,8 +15,6 @@ Python re-implementation of ``datagen/SceneSampler/main.cpp``:
 
 from __future__ import annotations
 
-import os
-
 import numpy as np
 
 from tpu3dsis.datagen.tsdf_fusion import load_aabbs, load_scsdf

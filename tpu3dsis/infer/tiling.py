@@ -20,8 +20,6 @@ stitch NMS keeping the highest-confidence copy.
 
 from __future__ import annotations
 
-import math
-
 import jax
 import jax.numpy as jnp
 import numpy as np

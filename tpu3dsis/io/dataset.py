@@ -17,7 +17,7 @@ import os
 import numpy as np
 
 from tpu3dsis.config import Config, load_label_mapping
-from tpu3dsis.io.chunk_format import RawChunk, read_chunk_file
+from tpu3dsis.io.chunk_format import read_chunk_file
 
 CHUNK_DIMS = (96, 48, 96)  # datagen/SceneSampler/zParameters.txt s_chunkDim
 

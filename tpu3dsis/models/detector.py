@@ -12,8 +12,6 @@ detections carry a validity mask instead of being filtered.
 
 from __future__ import annotations
 
-import functools
-from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ the compute dtype (bfloat16 supported via ``compute_dtype``).
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp

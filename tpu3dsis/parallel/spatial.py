@@ -134,7 +134,7 @@ def spatial_features(detector, params, scene, mesh, axis="space",
     {1: lvl1, 2: lvl2} feature maps with batch dim 1, numerically identical
     to ``detector.features`` on one device.
     """
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
     from jax.experimental.shard_map import shard_map
 
     n = mesh.shape[axis]

@@ -11,7 +11,6 @@ mesh; gradients are averaged with `jax.lax.pmean` inside `shard_map`
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax
@@ -251,7 +250,7 @@ def build_train_step(detector: Detector, cfg, scene_shape, mesh=None):
     if mesh is None:
         return opt_init, jax.jit(step_local)
 
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
     from jax.experimental.shard_map import shard_map
 
     sharded_step = shard_map(
