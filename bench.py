@@ -21,7 +21,7 @@ import time
 import numpy as np
 
 REFERENCE_CHUNKS_PER_S_ESTIMATE = 8.0
-BATCH = 8
+BATCH = 32
 
 
 def main():
@@ -38,7 +38,7 @@ def main():
     shape = (96, 48, 96)
     single = build_inference_fn(det, cfg, shape, mode="TEST")
 
-    iters = 20
+    iters = 10
 
     def batched(params, scenes):
         out = jax.vmap(lambda s: single(params, s[None]))(scenes)

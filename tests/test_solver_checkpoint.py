@@ -104,3 +104,41 @@ def test_partial_update_partitions(scannet_cfg, rng):
     assert out["geometry1.0.weight"].sum() == 3    # loaded
     assert out["rpn_net_level1.weight"].sum() == 0  # LOAD_RPN off
     assert out["classifier.0.weight"].sum() == 3
+
+
+def test_load_pth_torch_file_roundtrip(tmp_path, rng, scannet_cfg):
+    """torch.save a full-model state_dict in torch layouts, load via
+    load_pth + partial_update, and confirm every partitioned tensor lands."""
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    import jax
+
+    from tpu3dsis.models import Detector
+    from tpu3dsis.train.checkpoint import load_pth, params_to_torch_state_dict
+
+    cfg = scannet_cfg.copy()
+    cfg.LOAD_BACKBONE = cfg.LOAD_RPN = cfg.LOAD_CLASS = True
+    det = Detector(cfg, anchor_dir="experiments/anchors")
+    params = {
+        k: np.asarray(v)
+        for k, v in det.init_params(jax.random.PRNGKey(3)).items()
+    }
+    sd = {
+        k: torch.from_numpy(np.ascontiguousarray(v))
+        for k, v in params_to_torch_state_dict(params).items()
+    }
+    path = str(tmp_path / "full.pth")
+    torch.save(sd, path)
+
+    back = load_pth(path)
+    assert set(back) == set(params)
+    for k in params:
+        np.testing.assert_array_equal(back[k], params[k])
+
+    zeros = {k: np.zeros_like(v) for k, v in params.items()}
+    loaded = partial_update(zeros, back, cfg)
+    # everything in the backbone/rpn/class/mask partitions restored
+    for k in params:
+        if any(t in k for t in ("geometry", "combine", "rpn", "classifier")):
+            np.testing.assert_array_equal(loaded[k], params[k]), k
