@@ -158,3 +158,35 @@ def test_find_nearest_images_coverage(rng):
         sel, c2w, voxel, chunk_dim, [bad_depth, good_depth], [pose, pose], 2
     )
     assert 1 in chosen and 0 not in chosen
+
+
+def test_rot_chunk_transform_consistent_with_extract(rng):
+    """world->rotated-chunk transform maps world points onto the same voxels
+    extract_chunk places them at, for every rotation."""
+    grid = rng.randn(20, 8, 14).astype(np.float32)
+    voxel = 0.5
+    bmin = np.array([1.0, 2.0, 3.0])
+    w2g = ss.make_scene_world_to_grid(bmin, voxel, pad=0)
+    dim = (6, 6, 6)
+    start = (3, 1, 2)
+    for rot in range(4):
+        data, _ = ss.extract_chunk(grid, [], [], [], start, rot, dim)
+        w2c = ss.rot_chunk_transform(w2g, grid.shape, rot, start)
+        c2w = np.linalg.inv(w2c)
+        hits = checks = 0
+        for cx in range(dim[0]):
+            for cy in range(dim[1]):
+                for cz in range(dim[2]):
+                    if not np.isfinite(data[cx, cy, cz]):
+                        continue
+                    # voxel center in chunk coords -> world -> original grid
+                    p = c2w @ np.array([cx + 0.5, cy + 0.5, cz + 0.5, 1.0])
+                    g = w2g @ p
+                    gi = np.floor(g[:3]).astype(int)
+                    if (gi >= 0).all() and (gi < grid.shape).all():
+                        checks += 1
+                        if np.isclose(grid[gi[0], gi[1], gi[2]],
+                                      data[cx, cy, cz]):
+                            hits += 1
+        assert checks > 50, f"rot {rot}: degenerate test"
+        assert hits == checks, f"rot {rot}: {hits}/{checks} voxels consistent"
