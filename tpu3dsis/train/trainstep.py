@@ -84,8 +84,11 @@ def build_loss_fn(detector: Detector, cfg, scene_shape):
     use_mask = bool(cfg.USE_MASK) and detector.mask_backbone is not None
     use_images = bool(cfg.USE_IMAGES)
     mask_use_images = bool(cfg.MASK_USE_IMAGES)
-    fix_rpn = bool(cfg.FIX_RPN)
-    fix_class = bool(cfg.FIX_CLASS) and not cfg.NYUV2_FINETUNE
+    fix_rpn = bool(cfg.FIX_RPN) or not bool(cfg.USE_RPN)
+    fix_class = (
+        bool(cfg.FIX_CLASS) and not cfg.NYUV2_FINETUNE
+    ) or not bool(cfg.USE_CLASS)
+    use_rpn = bool(cfg.USE_RPN)
 
     def loss_fn(params, sample, key):
         scene = sample["data"][None]  # (1, X, Y, Z, 2)
@@ -110,12 +113,12 @@ def build_loss_fn(detector: Detector, cfg, scene_shape):
                 imageft = jax.lax.stop_gradient(imageft)
 
         feats = detector.features(params, scene, imageft)
-        rpn_out = detector.rpn_forward(params, feats)
 
         metrics = {}
         total = jnp.zeros((), jnp.float32)
 
         # --- RPN losses (network.py:326-428) ---
+        rpn_out = detector.rpn_forward(params, feats) if use_rpn else None
         if not fix_rpn:
             atargets = T.anchor_targets(
                 k_anchor,
@@ -137,14 +140,27 @@ def build_loss_fn(detector: Detector, cfg, scene_shape):
 
         # --- proposals (no grad through selection, like the reference's
         # .data use at network.py:666-674) ---
-        prop = select_proposals(
-            jax.lax.stop_gradient(rpn_out),
-            level_anchors,
-            shape_t,
-            pre_n,
-            post_n,
-            nms_thresh,
-        )
+        if use_rpn:
+            prop = select_proposals(
+                jax.lax.stop_gradient(rpn_out),
+                level_anchors,
+                shape_t,
+                pre_n,
+                post_n,
+                nms_thresh,
+            )
+        else:
+            # USE_RPN=False ablation: gt boxes are the proposals
+            # (network.py:149-152); level by the dims<=20 heuristic
+            dims = gt_box[:, 3:6] - gt_box[:, :3]
+            prop = {
+                "rois": gt_box[:, :6],
+                "scores": jnp.where(gt_valid, 1.0, -1e9),
+                "level_inds": jnp.where(
+                    jnp.all(dims <= 20.0, axis=1), 1.0, 2.0
+                ),
+                "valid": gt_valid,
+            }
 
         # --- classification losses (network.py:438-455) ---
         if not fix_class:
