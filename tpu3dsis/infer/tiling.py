@@ -85,6 +85,11 @@ class SceneInference:
         self._dtype = detector.cfg_static["compute_dtype"]
 
         def tiled(params, scene_dev, origins):
+            """origins: (n_batches, tile_batch, 3) — ALL tiles of the scene
+            in ONE dispatch: lax.map over batches (bounds activations to one
+            vmap'd batch) so a whole scene costs a single tunnel round trip.
+            """
+
             def one(origin):
                 t = jax.lax.dynamic_slice(
                     scene_dev, (origin[0], origin[1], origin[2], 0),
@@ -92,7 +97,7 @@ class SceneInference:
                 )
                 return single(params, t[None])
 
-            return jax.vmap(one)(origins)
+            return jax.lax.map(lambda ob: jax.vmap(one)(ob), origins)
 
         self._tiled_fn = jax.jit(tiled)
         self._mask_fn = None
@@ -271,53 +276,58 @@ class SceneInference:
         boxes, classes, confs = [], [], []
         bs = self.tile_batch
         n = len(origins)
-        for i in range(0, n, bs):
-            nb = min(bs, n - i)
+        nb_batches = -(-n // bs)
 
-            def padb(a):
-                out = a[i : i + bs]
-                if out.shape[0] < bs:
-                    pad = np.zeros((bs - out.shape[0], *out.shape[1:]),
-                                   out.dtype)
-                    out = np.concatenate([out, pad])
-                return out
+        def padb(a, i):
+            out = a[i : i + bs]
+            if out.shape[0] < bs:
+                pad = np.zeros((bs - out.shape[0], *out.shape[1:]), out.dtype)
+                out = np.concatenate([out, pad])
+            return out
 
-            if use_color:
+        if use_color:
+            batch_outs = []
+            for i in range(0, n, bs):
                 out = self._color_fns[1](
                     params,
                     scene_dev,
-                    jnp.asarray(padb(origins_np)),
-                    jnp.asarray(padb(w2gs)),
+                    jnp.asarray(padb(origins_np, i)),
+                    jnp.asarray(padb(w2gs, i)),
                     feats2d,
                     depths_d,
                     poses_d,
-                    jnp.asarray(padb(sel_idx)),
-                    jnp.asarray(padb(sel_valid)),
+                    jnp.asarray(padb(sel_idx, i)),
+                    jnp.asarray(padb(sel_valid, i)),
                 )
-            else:
-                out = self._tiled_fn(
-                    params, scene_dev, jnp.asarray(padb(origins_np))
-                )
-            ob = np.asarray(out["pred_box"])[:nb]
-            ocls = np.asarray(out["cls_pred"])[:nb]
-            oconf = np.asarray(out["pred_conf"])[:nb]
-            ovalid = np.asarray(out["valid"])[:nb]
-            odegen = np.asarray(out["degenerate"])[:nb]
-            for j in range(nb):
-                keep = (
-                    ovalid[j]
-                    & ~odegen[j]
-                    & (oconf[j] > cfg.CLASS_THRESH)
-                    & (ocls[j] > 0)
-                )
-                if not keep.any():
-                    continue
-                b = ob[j][keep]
-                off = np.array(origins[i + j], np.float32)
-                b = b + np.concatenate([off, off])
-                boxes.append(b)
-                classes.append(ocls[j][keep])
-                confs.append(oconf[j][keep])
+                batch_outs.append({k: np.asarray(v) for k, v in out.items()})
+            out_np = {
+                k: np.concatenate([b[k] for b in batch_outs])
+                for k in batch_outs[0]
+            }
+        else:
+            all_origins = np.stack(
+                [padb(origins_np, i) for i in range(0, n, bs)]
+            )  # (nb_batches, bs, 3)
+            out = self._tiled_fn(params, scene_dev, jnp.asarray(all_origins))
+            out_np = {
+                k: np.asarray(v).reshape(nb_batches * bs, *v.shape[2:])
+                for k, v in out.items()
+            }
+
+        for j in range(n):
+            keep = (
+                out_np["valid"][j]
+                & ~out_np["degenerate"][j]
+                & (out_np["pred_conf"][j] > cfg.CLASS_THRESH)
+                & (out_np["cls_pred"][j] > 0)
+            )
+            if not keep.any():
+                continue
+            b = out_np["pred_box"][j][keep]
+            off = np.array(origins[j], np.float32)
+            boxes.append(b + np.concatenate([off, off]))
+            classes.append(out_np["cls_pred"][j][keep])
+            confs.append(out_np["pred_conf"][j][keep])
 
         if not boxes:
             return {
