@@ -1,0 +1,125 @@
+"""Detection-quality test: a trained net must find known objects through
+BOTH the tiled and the single-shot whole-scene paths.
+
+Trains a tiny detector on 32x16x32 chunks with one solid-cube 'chair', then
+assembles a larger scene containing several such cubes and asserts both
+inference modes localize them. This is the end-to-end guarantee that
+tiling/stitching preserves detections (the SURVEY north-star requirement).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+
+DIMS = (32, 16, 32)
+
+
+def make_cube_chunk(rng, pos=None):
+    sdf = np.full(DIMS, 6.0, np.float32)
+    if pos is None:
+        cx, cy, cz = rng.randint(8, 24), rng.randint(5, 11), rng.randint(8, 24)
+    else:
+        cx, cy, cz = pos
+    s = 8
+    x0, y0, z0 = cx - s // 2, cy - s // 2, cz - s // 2
+    sdf[x0 : x0 + s, y0 : y0 + s, z0 : z0 + s] = 0.3
+    sdf[x0 + 1 : x0 + s - 1, y0 + 1 : y0 + s - 1, z0 + 1 : z0 + s - 1] = -2.0
+    box = np.array([x0, y0, z0, x0 + s, y0 + s, z0 + s], np.float32)
+    return sdf, box
+
+
+@pytest.mark.slow
+def test_tiled_and_single_shot_find_trained_objects(rng, scannet_cfg, tmp_path):
+    from tpu3dsis.io import write_chunk_file
+    from tpu3dsis.io.dataset import encode_tsdf
+    from tpu3dsis.infer.single_shot import SingleShotInference
+    from tpu3dsis.infer.tiling import SceneInference
+    from tpu3dsis.models import Detector
+    from tpu3dsis.train.loop import Trainer
+
+    cfg = scannet_cfg.copy()
+    cfg.LABEL_MAP = ""
+    cfg.KEEP_THRESH = 0.0
+    cfg.TRAIN.RPN_PRE_NMS_TOP_N = 128
+    cfg.TRAIN.RPN_POST_NMS_TOP_N = 16
+    cfg.TEST.RPN_PRE_NMS_TOP_N = 128
+    cfg.TEST.RPN_POST_NMS_TOP_N = 16
+    cfg.RPN_BATCHSIZE = 32
+    cfg.CLASS_BATCH_SIZE = 8
+    cfg.TPU_MAX_GT = 4
+    cfg.USE_MASK = False
+    cfg.MASK_BACKBONE = ""
+    cfg.TPU_TILE_SIZE = list(DIMS)
+    cfg.TPU_TILE_STRIDE = [16, 16, 16]
+    cfg.TPU_DATA_PARALLEL = 1
+    cfg.FIX_BACKBONE = cfg.FIX_RPN = cfg.FIX_CLASS = False
+    cfg.LEARNING_RATE = 0.01
+    cfg.VAL_TIME = 0.0
+    cfg.CLASS_THRESH = 0.3
+    cfg.VAL_FILELIST = ""
+
+    # training chunks: one cube each, class 5 (raw label; LABEL_MAP off)
+    paths = []
+    chunk_sdfs = []
+    chunk_boxes = []
+    for i in range(3):
+        sdf, box = make_cube_chunk(rng)
+        p = str(tmp_path / f"t{i}.chunk")
+        write_chunk_file(
+            p, sdf, box[None].astype(np.float64), np.array([5], np.uint32),
+            [np.ones((8, 8, 8), np.uint16)], np.ones(1, np.float32),
+            np.eye(4, dtype=np.float32), np.zeros(0, np.uint32),
+        )
+        paths.append(p)
+        chunk_sdfs.append(sdf)
+        chunk_boxes.append(box)
+    fl = tmp_path / "fl.txt"
+    fl.write_text("".join(p + "\n" for p in paths))
+    cfg.TRAIN_FILELIST = str(fl)
+
+    trainer = Trainer(cfg, str(tmp_path / "run"), chunk_shape=DIMS)
+    state, _ = trainer.train(epochs=10_000, max_steps=300)
+    params = {k: np.asarray(v) for k, v in state.params.items()}
+
+    # scene: 64x16x64 assembled from two training chunks on the tile grid
+    # (tests the tiling/stitching MECHANICS; a 3-chunk net can't be expected
+    # to generalize to unseen object positions)
+    scene_sdf = np.full((64, 16, 64), 6.0, np.float32)
+    scene_sdf[0:32, :, 0:32] = chunk_sdfs[0]
+    scene_sdf[32:64, :, 32:64] = chunk_sdfs[1]
+    gt_boxes = [
+        chunk_boxes[0].tolist(),
+        (chunk_boxes[1] + np.array([32, 0, 32, 32, 0, 32])).tolist(),
+    ]
+    scene = encode_tsdf(scene_sdf, cfg)
+
+    def found(dets, gt):
+        gt = np.asarray(gt, np.float32)
+        for b in dets["pred_box"]:
+            inter = np.prod(
+                np.clip(
+                    np.minimum(b[3:], gt[3:]) - np.maximum(b[:3], gt[:3]), 0,
+                    None,
+                )
+            )
+            union = (
+                np.prod(b[3:] - b[:3]) + np.prod(gt[3:] - gt[:3]) - inter
+            )
+            if inter / union >= 0.25:
+                return True
+        return False
+
+    det = trainer.detector
+    si = SceneInference(det, cfg, tile_batch=4)
+    tiled = si.detect(params, scene)
+    ss = SingleShotInference(det, cfg)
+    shot = ss.detect(params, scene)
+
+    for gt in gt_boxes:
+        assert found(tiled, gt), f"tiled missed {gt}: {tiled['pred_box'][:4]}"
+        assert found(shot, gt), f"single-shot missed {gt}: {shot['pred_box'][:4]}"
+    # classes agree with training label
+    assert (tiled["pred_class"] == 5).any()
+    assert (shot["pred_class"] == 5).any()

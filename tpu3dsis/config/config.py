@@ -200,6 +200,9 @@ def default_config() -> Config:
     c.TPU_MAX_MASK_ROIS = 16
     # max views fused per tile in whole-scene color inference
     c.TPU_MAX_TILE_VIEWS = 16
+    # whole-scene inference mode: 'tiled' (production) or 'single_shot'
+    # (reference-style one pass, for parity experiments)
+    c.TPU_SCENE_MODE = "tiled"
 
     return c
 

@@ -56,6 +56,15 @@ def run_scenes(
             cfg.TEST_FILELIST, "benchmark" if mode == "benchmark" else "scene", cfg
         )
     si = SceneInference(detector, cfg)
+    if str(dict.get(cfg, "TPU_SCENE_MODE", "tiled")) == "single_shot":
+        # reference-style one-pass whole-scene inference (parity experiments);
+        # masks still run through the tiled crop canvas
+        from tpu3dsis.infer.single_shot import SingleShotInference
+
+        shot = SingleShotInference(detector, cfg)
+        si.detect = lambda params, data, frames=None: shot.detect(
+            params, data, frames
+        )
 
     map_cls = DetectionMAP(
         cfg.NUM_CLASSES, overlap_threshold=cfg.MAP_THRESH, ignore_class=[0]
