@@ -60,3 +60,37 @@ def test_halo_exchange_edges(rng):
             np.testing.assert_array_equal(out[s, 0], shards[s - 1, 3])
         if s < 3:
             np.testing.assert_array_equal(out[s, 5], shards[s + 1, 0])
+
+
+def test_spatial_single_shot_matches_single_device(rng, scannet_cfg):
+    """Full pipeline with the backbone sharded over 4 devices == one device."""
+    import jax.numpy as jnp
+
+    from tpu3dsis.infer.single_shot import SingleShotInference
+    from tpu3dsis.models import Detector
+    from tpu3dsis.parallel.scene import spatial_single_shot
+
+    if jax.device_count() < 4:
+        pytest.skip("not enough devices")
+    cfg = scannet_cfg.copy()
+    cfg.TEST.RPN_PRE_NMS_TOP_N = 128
+    cfg.TEST.RPN_POST_NMS_TOP_N = 16
+    cfg.CLASS_THRESH = 0.0
+    det = Detector(cfg, anchor_dir="experiments/anchors")
+    params = det.init_params(jax.random.PRNGKey(0))
+    scene = rng.randn(64, 16, 48, 2).astype(np.float32)
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("space",))
+    sharded = spatial_single_shot(det, cfg, params, scene, mesh)
+
+    single = SingleShotInference(det, cfg)
+    one = single.detect(params, scene)
+
+    assert sharded["pred_box"].shape == one["pred_box"].shape
+    np.testing.assert_allclose(
+        sharded["pred_box"], one["pred_box"], rtol=1e-4, atol=1e-3
+    )
+    np.testing.assert_array_equal(sharded["pred_class"], one["pred_class"])
+    np.testing.assert_allclose(
+        sharded["pred_conf"], one["pred_conf"], rtol=1e-4, atol=1e-5
+    )
