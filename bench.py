@@ -26,6 +26,10 @@ BATCH = 32
 
 def main():
     import jax
+
+    from tpu3dsis.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from __graft_entry__ import _scannet_cfg

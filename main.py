@@ -38,6 +38,10 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+    from tpu3dsis.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     print("Called with args:")
     print(args)
 

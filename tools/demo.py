@@ -24,6 +24,8 @@ def main():
 
     if os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    from tpu3dsis.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
 
     from tpu3dsis.config import cfg_from_file, finalize_config
     from tpu3dsis.datagen import scene_sampler as ss

@@ -7,6 +7,8 @@ import pathlib, sys; os.chdir(pathlib.Path(__file__).resolve().parent.parent)
 
 import numpy as np
 import jax, jax.numpy as jnp
+from tpu3dsis.utils.cache import enable_compilation_cache
+enable_compilation_cache()
 
 from tpu3dsis.config import default_config, cfg_from_file, finalize_config
 from tpu3dsis.io import write_chunk_file, SceneDataset, pad_sample
