@@ -402,19 +402,22 @@ class SceneInference:
             labels[i] = int(cls)
             full_sizes.append(tuple(r[3:] - r[:3]))
 
-        # bucket the batch size to powers of two (<= 5 compiled shapes) so
-        # small scenes don't pay for a full padded batch
-        if n:
-            batch = min(batch, 1 << (max(n - 1, 0)).bit_length())
+        if n == 0:
+            return []
+        # device batches of `batch` boxes, pow2-bucketed tail (measured
+        # faster than one mega-dispatch: the uint8 download overlaps the
+        # next batch's compute across dispatches)
         masks = []
-        for i in range(0, n, batch):
+        i = 0
+        while i < n:
             m = min(batch, n - i)
+            m_pad = 1 << (m - 1).bit_length()
 
             def padb(a):
-                out = a[i : i + batch]
-                if out.shape[0] < batch:
+                out = a[i : i + m]
+                if out.shape[0] < m_pad:
                     out = np.concatenate(
-                        [out, np.zeros((batch - out.shape[0], *out.shape[1:]),
+                        [out, np.zeros((m_pad - out.shape[0], *out.shape[1:]),
                                        a.dtype)]
                     )
                 return out
@@ -433,4 +436,5 @@ class SceneInference:
                 out = np.zeros(full_sizes[i + j], np.uint8)
                 out[: crop.shape[0], : crop.shape[1], : crop.shape[2]] = crop
                 masks.append(out)
+            i += m
         return masks
