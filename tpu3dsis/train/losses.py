@@ -81,12 +81,13 @@ def class_losses(cls_score, bbox_pred, ptargets, class_weights):
     return cross_entropy, loss_box
 
 
-def mask_loss(mask_logits, mask_canvas, region_masks, labels, roi_valid, class_weights):
+def mask_loss(mask_logits, mask_targets, region_masks, labels, roi_valid, class_weights):
     """Mask BCE — reference network.py:461-481 with canvas-crop equivalence.
 
-    mask_logits: (M, X, Y, Z, C) masked-FCN outputs; mask_canvas: (X, Y, Z)
-    binary gt; region_masks: (M, X, Y, Z) the roi region; labels (M,);
-    class_weights with weights[0] forced 0 (bg contributes nothing).
+    mask_logits: (M, X, Y, Z, C) masked-FCN outputs; mask_targets:
+    (M, X, Y, Z) per-roi binary gt crops (window coords); region_masks:
+    (M, X, Y, Z) the roi region; labels (M,); class_weights with weights[0]
+    forced 0 (bg contributes nothing).
     """
     cw = class_weights.at[0].set(0.0)
     w = cw[labels] * roi_valid.astype(cw.dtype)
@@ -94,7 +95,7 @@ def mask_loss(mask_logits, mask_canvas, region_masks, labels, roi_valid, class_w
     logit = jnp.take_along_axis(
         mask_logits, labels[:, None, None, None, None], axis=4
     )[..., 0]
-    target = mask_canvas[None]
+    target = mask_targets
     # numerically-stable BCE with logits
     bce = jnp.maximum(logit, 0) - logit * target + jnp.log1p(
         jnp.exp(-jnp.abs(logit))

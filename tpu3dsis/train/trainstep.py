@@ -29,23 +29,86 @@ class TrainState(NamedTuple):
     opt: SGDState
 
 
-def _mask_forward_scan(detector, params, scene, region_masks, imageft=None, chunk=4):
-    """Run the mask FCN over M region-masked copies of the scene.
+def _mask_windows(rois, scene_shape, canvas):
+    """Per-roi crop-window starts + box bounds in window coords.
 
-    Statically-unrolled blocks of `chunk` rois bound transient memory (the
-    reference loops over RoIs in python, network.py:170-184); each block is
-    rematerialized for the backward pass. NOTE: deliberately NOT lax.map —
-    grad-of-scan-of-remat hits a pathological slow path (~30x) on the CPU
-    backend, and the block count is small and static anyway.
+    canvas <= scene_shape; the window is positioned so the (canvas-clamped)
+    box lies inside it — running the region-masked FCN on the window is
+    mathematically identical to the reference's exact crop (zero context
+    outside the region at every layer).
     """
+    r = jnp.round(rois).astype(jnp.int32)
+    canvas = jnp.asarray(canvas, jnp.int32)
+    dims = jnp.asarray(scene_shape, jnp.int32)
+    bsz = jnp.minimum(r[:, 3:6] - r[:, :3], canvas[None])
+    start = jnp.clip(r[:, :3], 0, (dims - canvas)[None])
+    start = jnp.minimum(
+        start, jnp.maximum(r[:, :3] + bsz - canvas[None], 0)
+    )
+    local = jnp.concatenate([r[:, :3] - start, r[:, :3] - start + bsz], axis=1)
+    return start, local
+
+
+def _window_region_mask(local, canvas):
+    ix = jnp.arange(canvas[0])[:, None, None]
+    iy = jnp.arange(canvas[1])[None, :, None]
+    iz = jnp.arange(canvas[2])[None, None, :]
+    return (
+        (ix >= local[0]) & (ix < local[3])
+        & (iy >= local[1]) & (iy < local[4])
+        & (iz >= local[2]) & (iz < local[5])
+    ).astype(jnp.float32)
+
+
+def _mask_forward_scan(detector, params, scene, rois, scene_shape, canvas,
+                       imageft=None, chunk=4):
+    """Run the mask FCN over M roi crop windows of the scene.
+
+    Each roi gets a `canvas`-sized window (TPU_MASK_CANVAS; set to the chunk
+    dims for the exact full-volume behavior) with the region re-masked after
+    every conv — identical math to the reference's exact-size crops
+    (network.py:170-184). Statically-unrolled blocks of `chunk` rois bound
+    transient memory and are rematerialized for the backward pass. NOTE:
+    deliberately NOT lax.map — grad-of-scan-of-remat hits a pathological
+    slow path (~30x) on the CPU backend.
+
+    Returns (logits (M, *canvas, C), regions (M, *canvas), starts (M, 3)).
+    """
+    canvas = tuple(int(min(c, s)) for c, s in zip(canvas, scene_shape))
+    full = canvas == tuple(scene_shape)
+    starts, locals6 = _mask_windows(rois, scene_shape, canvas)
+    if full:
+        # windows degenerate to the whole volume: share the scene across
+        # rois instead of materializing per-roi crop copies
+        starts = jnp.zeros_like(starts)
+        locals6 = jnp.round(rois).astype(jnp.int32)
+    regions = jax.vmap(lambda l: _window_region_mask(l, canvas))(locals6)
+
+    if full:
+        m_rois = rois.shape[0]
+        crops = jnp.broadcast_to(scene[None], (m_rois, *scene.shape))
+        ift_crops = (
+            jnp.broadcast_to(imageft[None], (m_rois, *imageft.shape))
+            if imageft is not None
+            else None
+        )
+    else:
+        def crop(vol, start):
+            return jax.lax.dynamic_slice(
+                vol, (start[0], start[1], start[2], 0), (*canvas, vol.shape[-1])
+            )
+
+        crops = jax.vmap(lambda s: crop(scene, s))(starts)
+        ift_crops = None
+        if imageft is not None:
+            ift_crops = jax.vmap(lambda s: crop(imageft, s))(starts)
 
     @jax.checkpoint
-    def one_block(masks):
-        # masks: (chunk, X, Y, Z)
-        x = scene[None] * masks[..., None]
-        ift = None
-        if imageft is not None:
-            ift = imageft[None] * masks[..., None]
+    def one_block(args):
+        x, masks, ift = args
+        x = x * masks[..., None]
+        if ift is not None:
+            ift = ift * masks[..., None]
         return detector.mask_backbone.apply(
             params,
             x,
@@ -55,15 +118,27 @@ def _mask_forward_scan(detector, params, scene, region_masks, imageft=None, chun
             compute_dtype=detector.cfg_static["compute_dtype"],
         )
 
-    m = region_masks.shape[0]
+    m = rois.shape[0]
     nblk = (m + chunk - 1) // chunk
     pad = nblk * chunk - m
-    masks = jnp.pad(region_masks, ((0, pad), (0, 0), (0, 0), (0, 0)))
-    outs = [
-        one_block(masks[i * chunk : (i + 1) * chunk]) for i in range(nblk)
-    ]
+
+    def padm(a):
+        return jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+
+    crops_p = padm(crops)
+    regions_p = padm(regions)
+    ift_p = padm(ift_crops) if ift_crops is not None else None
+    outs = []
+    for i in range(nblk):
+        sl = slice(i * chunk, (i + 1) * chunk)
+        outs.append(
+            one_block(
+                (crops_p[sl], regions_p[sl],
+                 ift_p[sl] if ift_p is not None else None)
+            )
+        )
     out = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
-    return out[:m]
+    return out[:m], regions, starts
 
 
 def build_loss_fn(detector: Detector, cfg, scene_shape):
@@ -81,6 +156,9 @@ def build_loss_fn(detector: Detector, cfg, scene_shape):
     post_n = int(cfg.TRAIN.RPN_POST_NMS_TOP_N)
     nms_thresh = float(cfg.TRAIN.RPN_NMS_THRESH)
     max_mask_rois = int(getattr_cfg(cfg, "TPU_MAX_MASK_ROIS", 16))
+    mask_canvas_dims = tuple(
+        int(c) for c in getattr_cfg(cfg, "TPU_MASK_CANVAS", list(scene_shape))
+    )
     use_mask = bool(cfg.USE_MASK) and detector.mask_backbone is not None
     use_images = bool(cfg.USE_IMAGES)
     mask_use_images = bool(cfg.MASK_USE_IMAGES)
@@ -197,19 +275,24 @@ def build_loss_fn(detector: Detector, cfg, scene_shape):
                 float(cfg.MASK_FG_THRESH),
                 max_mask_rois,
             )
-            regions = jax.vmap(lambda r: L.roi_region_mask(r, shape_t))(
-                mtargets["rois"]
-            )
-            mask_logits = _mask_forward_scan(
+            mask_logits, regions, starts = _mask_forward_scan(
                 detector,
                 params,
                 sample["data"],
-                regions,
+                mtargets["rois"],
+                shape_t,
+                mask_canvas_dims,
                 imageft=imageft[0] if (mask_use_images and imageft is not None) else None,
             )
+            win = mask_logits.shape[1:4]
+            targets = jax.vmap(
+                lambda s: jax.lax.dynamic_slice(
+                    sample["mask_canvas"], (s[0], s[1], s[2]), win
+                )
+            )(starts)
             lm = L.mask_loss(
                 mask_logits,
-                sample["mask_canvas"],
+                targets,
                 regions,
                 mtargets["labels"],
                 mtargets["valid"],
