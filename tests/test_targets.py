@@ -208,3 +208,41 @@ def test_mask_targets_selects_fg(rng):
     assert (labels[valid] == 3).all()
     np.testing.assert_allclose(sel[0], [11, 11, 11, 20, 20, 20])
     np.testing.assert_allclose(sel[1], [10, 10, 10, 20, 20, 20])
+
+
+def test_mask_canvas_windowing_loss_equivalence(rng, scannet_cfg):
+    """Windowed mask-canvas training must equal full-canvas losses for boxes
+    that fit the window (the exact-crop equivalence)."""
+    from tpu3dsis.models import Detector
+    from tpu3dsis.train.trainstep import TrainState, build_train_step
+
+    gt = np.zeros((1, 4, 7), np.float32)
+    gt[:, :, :3] = -1e4
+    gt[:, :, 3:6] = -1e4 + 1
+    gt[:, 0] = [4, 4, 4, 12, 12, 12, 3]
+    batch = {
+        "data": rng.randn(1, 32, 16, 32, 2).astype(np.float32),
+        "gt_box": gt,
+        "gt_valid": np.pad(np.ones((1, 1), bool), ((0, 0), (0, 3))),
+        "mask_canvas": np.zeros((1, 32, 16, 32), np.float32),
+    }
+    batch["mask_canvas"][:, 4:12, 4:12, 4:12] = 1.0
+
+    losses = []
+    for canvas in ([32, 16, 32], [16, 16, 16]):
+        cfg = scannet_cfg.copy()
+        cfg.LABEL_MAP = ""
+        cfg.TPU_MAX_GT = 4
+        cfg.TPU_MAX_MASK_ROIS = 2
+        cfg.TRAIN.RPN_PRE_NMS_TOP_N = 32
+        cfg.TRAIN.RPN_POST_NMS_TOP_N = 8
+        cfg.RPN_BATCHSIZE = 16
+        cfg.CLASS_BATCH_SIZE = 8
+        cfg.TPU_MASK_CANVAS = canvas
+        det = Detector(cfg, anchor_dir="experiments/anchors")
+        params = det.init_params(jax.random.PRNGKey(0))
+        opt_init, step = build_train_step(det, cfg, (32, 16, 32), mesh=None)
+        state = TrainState(params=params, opt=opt_init(params))
+        _, m = step(state, batch, jax.random.PRNGKey(0))
+        losses.append(float(m["loss_mask"]))
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-4)
