@@ -152,3 +152,62 @@ def test_color_scene_inference(tmp_path, rng, scannet_cfg):
     out = si.detect(params, scene, frames=frames)
     assert out["pred_box"].shape[1] == 6
     assert np.isfinite(out["pred_box"]).all()
+
+
+def test_color_scene_mode_through_driver(tmp_path, rng, scannet_cfg):
+    """Whole-scene color flow through run_scenes: the dataset reloads
+    world2grid from the frames dir (scene mode), frames feed the tiled
+    color inference, artifacts land in TEST_SAVE_DIR."""
+    import pickle
+
+    base = build_frames_dir(tmp_path, rng, scene="s1", n_frames=3)
+    cfg = color_cfg(scannet_cfg, tmp_path, base)
+    cfg.MODE = "test"
+    cfg.TEST_SAVE_DIR = str(tmp_path / "res")
+
+    # a .scene file named to resolve scene 's1' via the __ split
+    dims = (24, 16, 24)
+    sdf = (rng.randn(*dims) * 2).astype(np.float32)
+    path = str(tmp_path / "s1__scene.scene")
+    from tpu3dsis.io import write_chunk_file
+
+    write_chunk_file(
+        path, sdf,
+        np.array([[4, 4, 4, 12, 12, 12]], np.float64),
+        np.array([5], np.uint32),
+        [np.ones((8, 8, 8), np.uint16)],
+        np.ones(1, np.float32),
+        np.eye(4, dtype=np.float32),
+        np.zeros(0, np.uint32),
+    )
+    fl = tmp_path / "scenes.txt"
+    fl.write_text(path + "\n")
+    cfg.TEST_FILELIST = str(fl)
+
+    import jax
+
+    from tpu3dsis.infer.driver import run_scenes
+    from tpu3dsis.io.dataset import SceneDataset
+    from tpu3dsis.models import Detector
+
+    det = Detector(cfg, anchor_dir="experiments/anchors")
+    params = {
+        k: np.asarray(v)
+        for k, v in det.init_params(jax.random.PRNGKey(0)).items()
+    }
+    ds = SceneDataset(str(fl), "scene", cfg)
+    sample = ds[0]
+    # scene mode ignores the chunk's frame ids and lists the dir (3 frames),
+    # and reloads world2grid with the [10,16,10] padding subtraction
+    assert sample.images.shape[0] == 3
+    assert abs(sample.world_to_grid[1, 3] - (16 - 16) / 4.0) < 1e5  # loaded
+
+    results = run_scenes(
+        cfg, params, "test", detector=det, dataset=ds, max_scenes=1
+    )
+    out_dir = tmp_path / "res" / os.path.basename(path)[:12]
+    assert (out_dir / "pred_box.npy").exists()
+    with open(out_dir / "pred_mask", "rb") as f:
+        masks = pickle.load(f)
+    assert len(masks) == len(np.load(out_dir / "pred_box.npy"))
+    assert "mAP_CLASSIFICATION" in results
