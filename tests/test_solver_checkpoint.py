@@ -142,3 +142,28 @@ def test_load_pth_torch_file_roundtrip(tmp_path, rng, scannet_cfg):
     for k in params:
         if any(t in k for t in ("geometry", "combine", "rpn", "classifier")):
             np.testing.assert_array_equal(loaded[k], params[k]), k
+
+
+def test_nyuv2_finetune_semantics(scannet_cfg, rng):
+    """NYUV2_FINETUNE: cls/bbox heads are NOT loaded (trainval.py:149-152)
+    and stay trainable despite FIX_CLASS (trainval.py:282-283)."""
+    cfg = scannet_cfg.copy()
+    cfg.NYUV2_FINETUNE = True
+    cfg.FIX_CLASS = True
+    cfg.LOAD_CLASS = True
+    cfg.LOAD_BACKBONE = cfg.LOAD_RPN = False
+    names = [
+        "classifier.0.weight", "classifier.4.weight",
+        "classifier_cls_score_net.weight", "classifier_bbox_pred_net.weight",
+    ]
+    g = param_groups(names, cfg)
+    assert g["classifier.0.weight"][1] is True          # frozen
+    assert g["classifier.4.weight"][1] is False         # finetuned
+    assert g["classifier_bbox_pred_net.weight"][1] is False
+
+    model = {k: np.zeros(2, np.float32) for k in names}
+    pre = {k: np.ones(2, np.float32) for k in names}
+    out = partial_update(model, pre, cfg)
+    assert out["classifier.0.weight"].sum() == 2        # loaded
+    assert out["classifier_cls_score_net.weight"].sum() == 0  # head skipped
+    assert out["classifier_bbox_pred_net.weight"].sum() == 0
