@@ -31,7 +31,7 @@ def test_spatial_features_match_single_device(rng, scannet_cfg, n_shards):
 
 
 def test_halo_exchange_edges(rng):
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     from tpu3dsis.parallel import halo_exchange
@@ -46,7 +46,7 @@ def test_halo_exchange_edges(rng):
         mesh=mesh,
         in_specs=P("space"),
         out_specs=P("space"),
-        check_rep=False,
+        check_vma=False,
     )
     out = np.asarray(f(jnp.asarray(x)))  # (4 shards * 6, ...)
     out = out.reshape(4, 6, 2, 2, 1)

@@ -246,3 +246,56 @@ def test_mask_canvas_windowing_loss_equivalence(rng, scannet_cfg):
         _, m = step(state, batch, jax.random.PRNGKey(0))
         losses.append(float(m["loss_mask"]))
     np.testing.assert_allclose(losses[0], losses[1], rtol=1e-4)
+
+
+def test_nonfinite_step_skips_update(rng, scannet_cfg):
+    """A NaN in the input must yield step_finite=0 and UNCHANGED params/opt
+    (the SURVEY 5.2 numeric guard), and a clean batch step_finite=1."""
+    from tpu3dsis.models import Detector
+    from tpu3dsis.train.trainstep import TrainState, build_train_step
+
+    cfg = scannet_cfg.copy()
+    cfg.LABEL_MAP = ""
+    cfg.TPU_MAX_GT = 4
+    cfg.TPU_MAX_MASK_ROIS = 2
+    cfg.TRAIN.RPN_PRE_NMS_TOP_N = 32
+    cfg.TRAIN.RPN_POST_NMS_TOP_N = 8
+    cfg.RPN_BATCHSIZE = 16
+    cfg.CLASS_BATCH_SIZE = 8
+    det = Detector(cfg, anchor_dir="experiments/anchors")
+    params = det.init_params(jax.random.PRNGKey(0))
+    opt_init, step = build_train_step(det, cfg, (32, 16, 32), mesh=None)
+    state = TrainState(params=params, opt=opt_init(params))
+
+    gt = np.zeros((1, 4, 7), np.float32)
+    gt[:, :, :3] = -1e4
+    gt[:, :, 3:6] = -1e4 + 1
+    gt[:, 0] = [4, 4, 4, 12, 12, 12, 3]
+    batch = {
+        "data": rng.randn(1, 32, 16, 32, 2).astype(np.float32),
+        "gt_box": gt,
+        "gt_valid": np.pad(np.ones((1, 1), bool), ((0, 0), (0, 3))),
+        "mask_canvas": np.zeros((1, 32, 16, 32), np.float32),
+    }
+    batch["mask_canvas"][:, 4:12, 4:12, 4:12] = 1.0
+
+    bad = dict(batch)
+    bad["data"] = batch["data"].copy()
+    bad["data"][0, 0, 0, 0, 0] = np.nan
+    new_state, m = step(state, bad, jax.random.PRNGKey(0))
+    assert float(m["step_finite"]) == 0.0
+    for k in params:
+        np.testing.assert_array_equal(
+            np.asarray(new_state.params[k]), np.asarray(state.params[k])
+        )
+    assert int(new_state.opt.step) == int(state.opt.step)
+
+    good_state, m = step(state, batch, jax.random.PRNGKey(0))
+    assert float(m["step_finite"]) == 1.0
+    assert np.isfinite(float(m["total_loss"]))
+    changed = any(
+        not np.array_equal(np.asarray(good_state.params[k]),
+                           np.asarray(state.params[k]))
+        for k in params
+    )
+    assert changed

@@ -2,7 +2,7 @@
 
 Functional port of ``lib/layer_utils/coord_conv3d.py`` (and its
 random-window variant): appends three [-1, 1] normalized coordinate
-channels (z, y, x order matching the reference's meshgrid) to the input
+channels (x, y, z order matching the reference's stack) to the input
 before the convolution. Present for inventory parity — the shipped
 architectures import but never use it (``lib/nets/backbones.py:12``).
 """
@@ -13,7 +13,10 @@ import jax.numpy as jnp
 
 
 def add_coordinates_3d(x, window=None):
-    """x: (N, X, Y, Z, C) -> (N, X, Y, Z, C+3) with coord channels in [-1,1].
+    """x: (N, X, Y, Z, C) -> (N, X, Y, Z, 3+C) with coord channels in [-1,1].
+
+    The coordinate channels come FIRST (the reference cats ``(coords, grid)``,
+    coord_conv3d.py:67), so converted CoordConv3d weights line up.
 
     window: optional ((x0, x1), (y0, y1), (z0, z1)) normalized sub-range —
     the 'random window' variant feeds a shifted coordinate frame
@@ -40,7 +43,7 @@ def add_coordinates_3d(x, window=None):
         axis=-1,
     )
     coords = jnp.broadcast_to(coords[None], (n, sx, sy, sz, 3))
-    return jnp.concatenate([x, coords.astype(x.dtype)], axis=-1)
+    return jnp.concatenate([coords.astype(x.dtype), x], axis=-1)
 
 
 def coord_conv3d(x, w, b=None, stride=1, padding=0, window=None,

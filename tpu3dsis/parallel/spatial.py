@@ -135,7 +135,7 @@ def spatial_features(detector, params, scene, mesh, axis="space",
     to ``detector.features`` on one device.
     """
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     n = mesh.shape[axis]
     assert scene.shape[0] % (4 * n) == 0, (
@@ -166,7 +166,7 @@ def spatial_features(detector, params, scene, mesh, axis="space",
         mesh=mesh,
         in_specs=(P(axis), P(axis) if imageft is not None else P()),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     if imageft is None:
         imageft_arg = jnp.zeros((0,))
@@ -179,7 +179,7 @@ def spatial_features(detector, params, scene, mesh, axis="space",
             mesh=mesh,
             in_specs=(P(axis), P()),
             out_specs=(P(), P()),
-            check_rep=False,
+            check_vma=False,
         )
         lvl1, lvl2 = sharded(scene, imageft_arg)
     else:

@@ -342,21 +342,35 @@ def build_train_step(detector: Detector, cfg, scene_shape, mesh=None):
         if mesh is not None:
             grads = jax.tree.map(lambda g: jax.lax.pmean(g, "data"), grads)
             metrics = jax.tree.map(lambda m: jax.lax.pmean(m, "data"), metrics)
+        # Numeric guard (SURVEY 5.2): a non-finite loss/grad skips the update
+        # instead of silently poisoning params; surfaced via the step_finite
+        # metric so the training loop can count/report occurrences.
+        finite = jnp.isfinite(metrics["total_loss"])
+        for g in jax.tree.leaves(grads):
+            finite = finite & jnp.all(jnp.isfinite(g))
         updates, opt = opt_update(grads, state.opt, state.params)
         params = apply_updates(state.params, updates)
+        params = jax.tree.map(
+            lambda new, old: jnp.where(finite, new, old),
+            params, state.params,
+        )
+        opt = jax.tree.map(
+            lambda new, old: jnp.where(finite, new, old), opt, state.opt
+        )
+        metrics["step_finite"] = finite.astype(jnp.float32)
         return TrainState(params=params, opt=opt), metrics
 
     if mesh is None:
         return opt_init, jax.jit(step_local)
 
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     sharded_step = shard_map(
         step_local,
         mesh=mesh,
         in_specs=(P(), P("data"), P()),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return opt_init, jax.jit(sharded_step)
