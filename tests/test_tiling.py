@@ -84,3 +84,56 @@ def test_scene_inference_smoke(scannet_cfg):
     for m, b in zip(masks, few["pred_box"]):
         r = np.round(b).astype(int)
         assert m.shape == tuple(r[3:] - r[:3])
+
+
+@pytest.mark.slow
+def test_predict_masks_oversize_box_exact(scannet_cfg):
+    """A box larger than the tile canvas gets a halo-windowed mask equal to
+    the exact full-scene-crop computation (round-1 truncated it)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu3dsis.infer.tiling import SceneInference
+    from tpu3dsis.models import Detector
+    from tpu3dsis.ops.mask_windows import plan_windows_np
+
+    cfg = scannet_cfg.copy()
+    cfg.TPU_TILE_SIZE = [48, 48, 48]
+    cfg.TPU_TILE_STRIDE = [36, 36, 36]
+    det = Detector(cfg, anchor_dir="experiments/anchors")
+    params = det.init_params(jax.random.PRNGKey(0))
+    si = SceneInference(det, cfg, tile_batch=2)
+
+    scene = np.random.RandomState(1).randn(96, 48, 48, 2).astype(np.float32)
+    box = np.array([10, 4, 4, 90, 20, 20], np.float32)  # 80 voxels in x
+    det_out = {
+        "pred_box": box[None],
+        "pred_class": np.array([3], np.int32),
+        "pred_conf": np.array([0.9], np.float32),
+    }
+    items = plan_windows_np(box, scene.shape[:3], cfg.TPU_TILE_SIZE)
+    assert len(items) > 1  # actually multi-window
+    got = si.predict_masks(params, scene, det_out)
+    assert len(got) == 1 and got[0].shape == (80, 16, 16)
+
+    # oracle: exact-crop math = full-scene canvas with the box region mask
+    r = np.round(box).astype(int)
+    ix, iy, iz = np.ogrid[:96, :48, :48]
+    region = (
+        (ix >= r[0]) & (ix < r[3]) & (iy >= r[1]) & (iy < r[4])
+        & (iz >= r[2]) & (iz < r[5])
+    ).astype(np.float32)
+    probs = det.mask_backbone.apply(
+        params,
+        jnp.asarray((scene * region[..., None])[None]),
+        training=False,
+        region_mask=jnp.asarray(region[None, ..., None]),
+        compute_dtype=det.cfg_static["compute_dtype"],
+    )
+    want = (
+        np.asarray(probs[0, :, :, :, 3]) >= float(cfg.MASK_THRESH)
+    ).astype(np.uint8)[r[0]:r[3], r[1]:r[4], r[2]:r[5]]
+    # identical math up to f32 reassociation; allow flips only at the
+    # threshold boundary (<0.5% of voxels)
+    mismatch = (got[0] != want).mean()
+    assert mismatch < 0.005, f"mask mismatch fraction {mismatch}"

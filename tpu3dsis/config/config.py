@@ -198,6 +198,9 @@ def default_config() -> Config:
     c.TPU_STITCH_NMS_THRESH = 0.25
     # mask-training roi capacity per sample
     c.TPU_MAX_MASK_ROIS = 16
+    # spare work-queue slots for halo-windows of rois larger than the mask
+    # canvas (ops/mask_windows.py); 0 degrades oversize rois gracefully
+    c.TPU_MASK_EXTRA_WINDOWS = 4
     # max views fused per tile in whole-scene color inference
     c.TPU_MAX_TILE_VIEWS = 16
     # whole-scene inference mode: 'tiled' (production) or 'single_shot'

@@ -374,43 +374,54 @@ class SceneInference:
                       batch: int = 16):
         """Per kept box: sigmoid mask of the predicted class, thresholded.
 
-        Crops are gathered on the host and run through the mask FCN in
-        fixed-size device batches (one dispatch per `batch` boxes). Returns
-        a list of (bw, bh, bl) uint8 box-crop masks (reference
-        trainval.py:755-762 artifact semantics).
+        Halo windows are planned on the host, sliced from the device-resident
+        scene, and run through the mask FCN in fixed-size device batches (one
+        dispatch per `batch` windows). Returns a list of (bw, bh, bl) uint8
+        box-crop masks (reference trainval.py:755-762 artifact semantics),
+        exact for boxes of any size.
         """
         if self._mask_fn is None:
             return []
+        from tpu3dsis.ops.mask_windows import plan_windows_np
+
         tx, ty, tz = self.tile
         data, scene_dev = self._device_scene(scene_data)
-        sx, sy, sz = data.shape[:3]
+        scene_shape = data.shape[:3]
 
         n = len(det_out["pred_box"])
-        starts = np.zeros((n, 3), np.int32)
-        locals6 = np.zeros((n, 6), np.int32)
-        labels = np.zeros((n,), np.int32)
+        if n == 0:
+            return []
+        # one work item per halo window: boxes that fit a tile-sized canvas
+        # get exactly one (round-1 behavior); larger boxes get several, each
+        # exact on its owned segment (ops/mask_windows.py)
+        box_idx, starts, locals6, owns, labels = [], [], [], [], []
         full_sizes = []
         for i, (box, cls) in enumerate(
             zip(det_out["pred_box"], det_out["pred_class"])
         ):
             r = np.round(box).astype(int)
-            bsz = np.minimum(r[3:] - r[:3], [tx, ty, tz])
-            start = np.clip(r[:3], 0, [sx - tx, sy - ty, sz - tz])
-            start = np.minimum(start, np.maximum(r[:3] + bsz - [tx, ty, tz], 0))
-            starts[i] = start
-            locals6[i] = np.concatenate([r[:3] - start, r[:3] - start + bsz])
-            labels[i] = int(cls)
             full_sizes.append(tuple(r[3:] - r[:3]))
+            for start, local, own in plan_windows_np(
+                box, scene_shape, (tx, ty, tz)
+            ):
+                box_idx.append(i)
+                starts.append(start)
+                locals6.append(local)
+                owns.append(own)
+                labels.append(int(cls))
+        starts = np.stack(starts).astype(np.int32)
+        locals6 = np.stack(locals6).astype(np.int32)
+        labels = np.asarray(labels, np.int32)
 
-        if n == 0:
-            return []
-        # device batches of `batch` boxes, pow2-bucketed tail (measured
+        masks = [np.zeros(fs, np.uint8) for fs in full_sizes]
+        box_r0 = np.round(det_out["pred_box"][:, :3]).astype(int)
+        # device batches of `batch` windows, pow2-bucketed tail (measured
         # faster than one mega-dispatch: the uint8 download overlaps the
         # next batch's compute across dispatches)
-        masks = []
+        n_items = len(box_idx)
         i = 0
-        while i < n:
-            m = min(batch, n - i)
+        while i < n_items:
+            m = min(batch, n_items - i)
             m_pad = 1 << (m - 1).bit_length()
 
             def padb(a):
@@ -429,12 +440,19 @@ class SceneInference:
                 )
             )[:m]
             for j in range(m):
-                local = locals6[i + j]
+                b = box_idx[i + j]
+                own = owns[i + j]
+                st = starts[i + j]
                 crop = got[j][
-                    local[0] : local[3], local[1] : local[4], local[2] : local[5]
+                    own[0] - st[0] : own[3] - st[0],
+                    own[1] - st[1] : own[4] - st[1],
+                    own[2] - st[2] : own[5] - st[2],
                 ]
-                out = np.zeros(full_sizes[i + j], np.uint8)
-                out[: crop.shape[0], : crop.shape[1], : crop.shape[2]] = crop
-                masks.append(out)
+                o = own[:3] - box_r0[b]
+                masks[b][
+                    o[0] : o[0] + crop.shape[0],
+                    o[1] : o[1] + crop.shape[1],
+                    o[2] : o[2] + crop.shape[2],
+                ] = crop
             i += m
         return masks

@@ -81,29 +81,38 @@ def class_losses(cls_score, bbox_pred, ptargets, class_weights):
     return cross_entropy, loss_box
 
 
-def mask_loss(mask_logits, mask_targets, region_masks, labels, roi_valid, class_weights):
-    """Mask BCE — reference network.py:461-481 with canvas-crop equivalence.
+def mask_loss_windowed(mask_logits, mask_targets, own_masks, item_valid,
+                       roi_idx, labels, roi_valid, class_weights, num_rois):
+    """Mask BCE over a halo-window work queue — network.py:461-481 semantics.
 
-    mask_logits: (M, X, Y, Z, C) masked-FCN outputs; mask_targets:
-    (M, X, Y, Z) per-roi binary gt crops (window coords); region_masks:
-    (M, X, Y, Z) the roi region; labels (M,); class_weights with weights[0]
+    Each of the C work items covers the OWNED output segment of one window
+    of one roi (ops/mask_windows.py); ownership segments of a roi partition
+    its box, so segment-summing per-voxel BCE by ``roi_idx`` and dividing by
+    the summed owned volume reproduces the reference's per-roi mean over the
+    exact-size crop for rois of ANY size.
+
+    mask_logits: (C, X, Y, Z, NC) masked-FCN window outputs; mask_targets:
+    (C, X, Y, Z) gt crops (window coords); own_masks: (C, X, Y, Z) owned
+    segments; labels/roi_valid: per-roi (M,); class_weights with weights[0]
     forced 0 (bg contributes nothing).
     """
     cw = class_weights.at[0].set(0.0)
-    w = cw[labels] * roi_valid.astype(cw.dtype)
-
+    lab_item = labels[roi_idx]
     logit = jnp.take_along_axis(
-        mask_logits, labels[:, None, None, None, None], axis=4
+        mask_logits, lab_item[:, None, None, None, None], axis=4
     )[..., 0]
     target = mask_targets
     # numerically-stable BCE with logits
     bce = jnp.maximum(logit, 0) - logit * target + jnp.log1p(
         jnp.exp(-jnp.abs(logit))
     )
-    region = region_masks
-    per_roi = jnp.sum(bce * region, axis=(1, 2, 3)) / jnp.maximum(
-        jnp.sum(region, axis=(1, 2, 3)), 1.0
-    )
+    w_own = own_masks * item_valid[:, None, None, None].astype(own_masks.dtype)
+    item_sum = jnp.sum(bce * w_own, axis=(1, 2, 3))
+    item_cnt = jnp.sum(w_own, axis=(1, 2, 3))
+    roi_sum = jax.ops.segment_sum(item_sum, roi_idx, num_segments=num_rois)
+    roi_cnt = jax.ops.segment_sum(item_cnt, roi_idx, num_segments=num_rois)
+    per_roi = roi_sum / jnp.maximum(roi_cnt, 1.0)
+    w = cw[labels] * roi_valid.astype(cw.dtype)
     counter = jnp.sum((w != 0.0).astype(jnp.float32))
     total = jnp.sum(per_roi * w)
     return jnp.where(counter > 0, total / jnp.maximum(counter, 1.0), total)

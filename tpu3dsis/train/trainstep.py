@@ -29,26 +29,6 @@ class TrainState(NamedTuple):
     opt: SGDState
 
 
-def _mask_windows(rois, scene_shape, canvas):
-    """Per-roi crop-window starts + box bounds in window coords.
-
-    canvas <= scene_shape; the window is positioned so the (canvas-clamped)
-    box lies inside it — running the region-masked FCN on the window is
-    mathematically identical to the reference's exact crop (zero context
-    outside the region at every layer).
-    """
-    r = jnp.round(rois).astype(jnp.int32)
-    canvas = jnp.asarray(canvas, jnp.int32)
-    dims = jnp.asarray(scene_shape, jnp.int32)
-    bsz = jnp.minimum(r[:, 3:6] - r[:, :3], canvas[None])
-    start = jnp.clip(r[:, :3], 0, (dims - canvas)[None])
-    start = jnp.minimum(
-        start, jnp.maximum(r[:, :3] + bsz - canvas[None], 0)
-    )
-    local = jnp.concatenate([r[:, :3] - start, r[:, :3] - start + bsz], axis=1)
-    return start, local
-
-
 def _window_region_mask(local, canvas):
     ix = jnp.arange(canvas[0])[:, None, None]
     iy = jnp.arange(canvas[1])[None, :, None]
@@ -60,32 +40,48 @@ def _window_region_mask(local, canvas):
     ).astype(jnp.float32)
 
 
-def _mask_forward_scan(detector, params, scene, rois, scene_shape, canvas,
-                       imageft=None, chunk=4):
-    """Run the mask FCN over M roi crop windows of the scene.
+def _mask_forward_scan(detector, params, scene, rois, roi_valid, scene_shape,
+                       canvas, imageft=None, chunk=4, extra_windows=4):
+    """Run the mask FCN over a fixed-capacity queue of roi crop windows.
 
-    Each roi gets a `canvas`-sized window (TPU_MASK_CANVAS; set to the chunk
-    dims for the exact full-volume behavior) with the region re-masked after
-    every conv — identical math to the reference's exact-size crops
-    (network.py:170-184). Statically-unrolled blocks of `chunk` rois bound
-    transient memory and are rematerialized for the backward pass. NOTE:
-    deliberately NOT lax.map — grad-of-scan-of-remat hits a pathological
-    slow path (~30x) on the CPU backend.
+    Each roi that fits the `canvas` (TPU_MASK_CANVAS) gets ONE window with
+    the region re-masked after every conv — identical math to the
+    reference's exact-size crops (network.py:170-184). Oversize rois are
+    halo-decomposed into several windows (ops/mask_windows.py), each exact
+    on its owned output segment, filling up to `extra_windows` spare queue
+    slots. Statically-unrolled blocks of `chunk` windows bound transient
+    memory and are rematerialized for the backward pass. NOTE: deliberately
+    NOT lax.map — grad-of-scan-of-remat hits a pathological slow path
+    (~30x) on the CPU backend.
 
-    Returns (logits (M, *canvas, C), regions (M, *canvas), starts (M, 3)).
+    Returns dict(logits (C, *canvas, NC), own_masks (C, *canvas),
+    starts (C, 3), roi_idx (C,), valid (C,), dropped ()).
     """
+    from tpu3dsis.ops.mask_windows import plan_windows
+
     canvas = tuple(int(min(c, s)) for c, s in zip(canvas, scene_shape))
     full = canvas == tuple(scene_shape)
-    starts, locals6 = _mask_windows(rois, scene_shape, canvas)
+    m_rois = rois.shape[0]
     if full:
         # windows degenerate to the whole volume: share the scene across
         # rois instead of materializing per-roi crop copies
-        starts = jnp.zeros_like(starts)
+        starts = jnp.zeros((m_rois, 3), jnp.int32)
         locals6 = jnp.round(rois).astype(jnp.int32)
+        own6 = locals6
+        roi_idx = jnp.arange(m_rois, dtype=jnp.int32)
+        item_valid = roi_valid
+        dropped = jnp.zeros((), jnp.int32)
+    else:
+        plan = plan_windows(
+            rois, roi_valid, scene_shape, canvas, m_rois + extra_windows
+        )
+        starts, locals6, own6 = plan["starts"], plan["locals6"], plan["own6"]
+        roi_idx, item_valid = plan["roi_idx"], plan["valid"]
+        dropped = plan["dropped"]
     regions = jax.vmap(lambda l: _window_region_mask(l, canvas))(locals6)
+    own_masks = jax.vmap(lambda l: _window_region_mask(l, canvas))(own6)
 
     if full:
-        m_rois = rois.shape[0]
         crops = jnp.broadcast_to(scene[None], (m_rois, *scene.shape))
         ift_crops = (
             jnp.broadcast_to(imageft[None], (m_rois, *imageft.shape))
@@ -118,7 +114,7 @@ def _mask_forward_scan(detector, params, scene, rois, scene_shape, canvas,
             compute_dtype=detector.cfg_static["compute_dtype"],
         )
 
-    m = rois.shape[0]
+    m = crops.shape[0]
     nblk = (m + chunk - 1) // chunk
     pad = nblk * chunk - m
 
@@ -138,7 +134,14 @@ def _mask_forward_scan(detector, params, scene, rois, scene_shape, canvas,
             )
         )
     out = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
-    return out[:m], regions, starts
+    return {
+        "logits": out[:m],
+        "own_masks": own_masks,
+        "starts": starts,
+        "roi_idx": roi_idx,
+        "valid": item_valid,
+        "dropped": dropped,
+    }
 
 
 def build_loss_fn(detector: Detector, cfg, scene_shape):
@@ -156,6 +159,7 @@ def build_loss_fn(detector: Detector, cfg, scene_shape):
     post_n = int(cfg.TRAIN.RPN_POST_NMS_TOP_N)
     nms_thresh = float(cfg.TRAIN.RPN_NMS_THRESH)
     max_mask_rois = int(getattr_cfg(cfg, "TPU_MAX_MASK_ROIS", 16))
+    mask_extra_windows = int(getattr_cfg(cfg, "TPU_MASK_EXTRA_WINDOWS", 4))
     mask_canvas_dims = tuple(
         int(c) for c in getattr_cfg(cfg, "TPU_MASK_CANVAS", list(scene_shape))
     )
@@ -275,30 +279,36 @@ def build_loss_fn(detector: Detector, cfg, scene_shape):
                 float(cfg.MASK_FG_THRESH),
                 max_mask_rois,
             )
-            mask_logits, regions, starts = _mask_forward_scan(
+            mw = _mask_forward_scan(
                 detector,
                 params,
                 sample["data"],
                 mtargets["rois"],
+                mtargets["valid"],
                 shape_t,
                 mask_canvas_dims,
                 imageft=imageft[0] if (mask_use_images and imageft is not None) else None,
+                extra_windows=mask_extra_windows,
             )
-            win = mask_logits.shape[1:4]
+            win = mw["logits"].shape[1:4]
             targets = jax.vmap(
                 lambda s: jax.lax.dynamic_slice(
                     sample["mask_canvas"], (s[0], s[1], s[2]), win
                 )
-            )(starts)
-            lm = L.mask_loss(
-                mask_logits,
+            )(mw["starts"])
+            lm = L.mask_loss_windowed(
+                mw["logits"],
                 targets,
-                regions,
+                mw["own_masks"],
+                mw["valid"],
+                mw["roi_idx"],
                 mtargets["labels"],
                 mtargets["valid"],
                 class_weights,
+                max_mask_rois,
             )
             metrics["loss_mask"] = lm
+            metrics["mask_windows_dropped"] = mw["dropped"].astype(jnp.float32)
             total = total + lm
 
         metrics["total_loss"] = total
