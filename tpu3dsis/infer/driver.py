@@ -92,7 +92,9 @@ def run_scenes(
             }
         det_out = si.detect(params, sample.data, frames=frames)
         masks = (
-            si.predict_masks(params, sample.data, det_out) if with_masks else []
+            si.predict_masks(params, sample.data, det_out, frames=frames)
+            if with_masks
+            else []
         )
 
         os.makedirs(out_dir, exist_ok=True)

@@ -101,8 +101,13 @@ class SceneInference:
 
         self._tiled_fn = jax.jit(tiled)
         self._mask_fn = None
+        self._mask_color_fn = None
         if detector.mask_backbone is not None:
             self._mask_fn = jax.jit(self._build_mask_fn())
+            if detector.color_projector is not None and bool(
+                cfg.MASK_USE_IMAGES
+            ):
+                self._mask_color_fn = jax.jit(self._build_mask_color_fn())
         # color path: per-tile view selection + shared 2D features
         self.max_tile_views = int(dict.get(cfg, "TPU_MAX_TILE_VIEWS", 16))
         self._color_fns = None
@@ -174,6 +179,65 @@ class SceneInference:
 
         return mask_batch
 
+    def _build_mask_color_fn(self):
+        """MASK_USE_IMAGES: mask FCN with the color/combine branches fed by
+        per-window color projection.
+
+        The reference re-runs the mask backbone on imageft cropped from the
+        scene-level projected color volume (``lib/model/trainval.py:882-897``,
+        ``lib/nets/network.py:303-317``). Materializing that volume for a
+        whole scene is HBM-hostile (X*Y*Z*128 floats); projection is
+        per-voxel independent, so projecting each window's views into the
+        window grid yields the identical crop on-chip.
+        """
+        det = self.det
+        tx, ty, tz = self.tile
+        thresh = float(self.cfg.MASK_THRESH)
+        proj = det.color_projector
+
+        def mask_batch(params, scene_dev, starts, locals_, labels, w2gs,
+                       sel_idx, sel_valid, feats2d, depths, poses):
+            ix = jnp.arange(tx)[:, None, None]
+            iy = jnp.arange(ty)[None, :, None]
+            iz = jnp.arange(tz)[None, None, :]
+
+            def one(args):
+                start, local, label, w2g, idx, ok = args
+                crop = jax.lax.dynamic_slice(
+                    scene_dev, (start[0], start[1], start[2], 0),
+                    (tx, ty, tz, 2),
+                )
+                region = (
+                    (ix >= local[0]) & (ix < local[3])
+                    & (iy >= local[1]) & (iy < local[4])
+                    & (iz >= local[2]) & (iz < local[5])
+                ).astype(crop.dtype)
+                imageft = proj.project(
+                    params,
+                    None,
+                    depths[idx],
+                    poses[idx],
+                    w2g,
+                    (tx, ty, tz),
+                    view_valid=ok,
+                    feats=feats2d[idx],
+                )
+                probs = det.mask_backbone.apply(
+                    params,
+                    (crop * region[..., None])[None],
+                    imageft=(imageft * region[..., None])[None],
+                    training=False,
+                    region_mask=region[None, ..., None],
+                    compute_dtype=det.cfg_static["compute_dtype"],
+                )
+                return (probs[0, :, :, :, label] >= thresh).astype(jnp.uint8)
+
+            return jax.lax.map(
+                one, (starts, locals_, labels, w2gs, sel_idx, sel_valid)
+            )
+
+        return mask_batch
+
     def _device_scene(self, scene_data: np.ndarray):
         """Pad to bucketed shape (48-voxel multiples) and device_put ONCE.
 
@@ -191,7 +255,14 @@ class SceneInference:
         return data, scene_dev
 
     def _prepare_color(self, params, frames):
-        """Per-scene: ENet features for all views (bucketed V) + frusta."""
+        """Per-scene: ENet features for all views (bucketed V) + frusta.
+
+        Cached by frames-dict identity so detect + predict_masks on the same
+        scene share one ENet pass and one feature upload.
+        """
+        cached = getattr(self, "_color_prep_cache", None)
+        if cached is not None and cached[0] is frames:
+            return cached[1]
         from tpu3dsis.models.color import frustum_bbox_grid
 
         proj = self.det.color_projector
@@ -228,7 +299,9 @@ class SceneInference:
             )
             for i in range(v)
         ]
-        return feats2d, jnp.asarray(depths), jnp.asarray(poses), frusta
+        out = (feats2d, jnp.asarray(depths), jnp.asarray(poses), frusta)
+        self._color_prep_cache = (frames, out)
+        return out
 
     # --- main entry -------------------------------------------------------
     def detect(self, params, scene_data: np.ndarray, frames=None):
@@ -371,17 +444,24 @@ class SceneInference:
 
     # --- masks ------------------------------------------------------------
     def predict_masks(self, params, scene_data: np.ndarray, det_out: dict,
-                      batch: int = 16):
+                      batch: int = 16, frames=None):
         """Per kept box: sigmoid mask of the predicted class, thresholded.
 
         Halo windows are planned on the host, sliced from the device-resident
         scene, and run through the mask FCN in fixed-size device batches (one
-        dispatch per `batch` windows). Returns a list of (bw, bh, bl) uint8
-        box-crop masks (reference trainval.py:755-762 artifact semantics),
-        exact for boxes of any size.
+        dispatch per `batch` windows). MASK_USE_IMAGES configs additionally
+        project each window's views into the window grid for the color
+        branch (pass the same `frames` dict given to detect()). Returns a
+        list of (bw, bh, bl) uint8 box-crop masks (reference
+        trainval.py:755-762 artifact semantics), exact for boxes of any size.
         """
         if self._mask_fn is None:
             return []
+        use_color = self._mask_color_fn is not None
+        if use_color and frames is None:
+            raise ValueError(
+                "MASK_USE_IMAGES config: predict_masks needs the frames dict"
+            )
         from tpu3dsis.ops.mask_windows import plan_windows_np
 
         tx, ty, tz = self.tile
@@ -413,6 +493,30 @@ class SceneInference:
         locals6 = np.stack(locals6).astype(np.int32)
         labels = np.asarray(labels, np.int32)
 
+        if use_color:
+            from tpu3dsis.models.color import (
+                select_views_for_tile,
+                shift_world_to_grid,
+            )
+
+            feats2d, depths_d, poses_d, frusta = self._prepare_color(
+                params, frames
+            )
+            w2gs = np.stack(
+                [
+                    shift_world_to_grid(frames["world_to_grid"], s)
+                    for s in starts
+                ]
+            )
+            sel = [
+                select_views_for_tile(
+                    frusta, s, (tx, ty, tz), self.max_tile_views
+                )
+                for s in starts
+            ]
+            sel_idx = np.stack([s[0] for s in sel])
+            sel_valid = np.stack([s[1] for s in sel])
+
         masks = [np.zeros(fs, np.uint8) for fs in full_sizes]
         box_r0 = np.round(det_out["pred_box"][:, :3]).astype(int)
         # device batches of `batch` windows, pow2-bucketed tail (measured
@@ -433,12 +537,23 @@ class SceneInference:
                     )
                 return out
 
-            got = np.asarray(
-                self._mask_fn(
-                    params, scene_dev, jnp.asarray(padb(starts)),
-                    jnp.asarray(padb(locals6)), jnp.asarray(padb(labels)),
-                )
-            )[:m]
+            if use_color:
+                got = np.asarray(
+                    self._mask_color_fn(
+                        params, scene_dev, jnp.asarray(padb(starts)),
+                        jnp.asarray(padb(locals6)), jnp.asarray(padb(labels)),
+                        jnp.asarray(padb(w2gs)), jnp.asarray(padb(sel_idx)),
+                        jnp.asarray(padb(sel_valid)), feats2d, depths_d,
+                        poses_d,
+                    )
+                )[:m]
+            else:
+                got = np.asarray(
+                    self._mask_fn(
+                        params, scene_dev, jnp.asarray(padb(starts)),
+                        jnp.asarray(padb(locals6)), jnp.asarray(padb(labels)),
+                    )
+                )[:m]
             for j in range(m):
                 b = box_idx[i + j]
                 own = owns[i + j]
