@@ -1,0 +1,428 @@
+"""Full-network TEST-branch parity against the reference's OWN torch code.
+
+Extends the test_enet.py trick to the whole pipeline (VERDICT r1 next-step
+#3): ``lib/nets/backbones.py`` + the head construction of
+``lib/nets/network.py:36-60`` are loaded directly from /root/reference (with
+tiny stand-ins for its CUDA-era compiled extensions, re-implemented from the
+C source), OUR randomly-initialized params are converted into its
+state_dict, and one fixed chunk is pushed through both frameworks'
+TEST branches stage by stage:
+
+  backbone -> RPN heads -> proposal layer (top-k + NMS) -> RoI pool ->
+  classifier -> per-class box decode -> mask FCN
+
+Every stage must agree to float tolerance. The same outputs are pinned as a
+golden fixture (tests/fixtures/full_net_golden.npz) so drift is caught even
+where the reference checkout is absent. When the released checkpoints reach
+this environment, the identical harness becomes the real-weights test: load
+the .pth with checkpoint.torch_state_dict_to_params instead of random init.
+"""
+
+import importlib
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+REF = "/root/reference"
+GOLDEN = "tests/fixtures/full_net_golden.npz"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF, "lib")),
+    reason="reference checkout not available",
+)
+
+
+# --- CPU stand-ins for the reference's compiled CUDA-era extensions -------
+
+def _roi_pooling_forward_cpu(pw, ph, pl, scale, features, rois, output):
+    """Exact semantics of roi_pooling.c::roi_pooling_forward (reference
+    lib/layer_utils/roi_pooling/src/roi_pooling.c:6-120)."""
+    f = features.detach().numpy()[0]  # (C, W, H, L)
+    r = rois.detach().numpy()
+    dims = f.shape[1:]
+    pooled = (int(pw), int(ph), int(pl))
+    out = np.zeros((r.shape[0], f.shape[0], *pooled), np.float32)
+    for n in range(r.shape[0]):
+        start = [int(np.floor(r[n, i] * scale)) for i in range(3)]
+        end = [int(np.ceil(r[n, i + 3] * scale)) for i in range(3)]
+        size = [max(end[i] - start[i], 1) for i in range(3)]
+        bins = [size[i] / pooled[i] for i in range(3)]
+        for aw in range(pooled[0]):
+            ws = min(max(int(np.floor(aw * bins[0])) + start[0], 0), dims[0])
+            we = min(max(int(np.ceil((aw + 1) * bins[0])) + start[0], 0), dims[0])
+            for ah in range(pooled[1]):
+                hs = min(max(int(np.floor(ah * bins[1])) + start[1], 0), dims[1])
+                he = min(max(int(np.ceil((ah + 1) * bins[1])) + start[1], 0), dims[1])
+                for al in range(pooled[2]):
+                    ls = min(max(int(np.floor(al * bins[2])) + start[2], 0), dims[2])
+                    le = min(max(int(np.ceil((al + 1) * bins[2])) + start[2], 0), dims[2])
+                    if ws >= we or hs >= he or ls >= le:
+                        continue  # empty bin stays 0
+                    out[n, :, aw, ah, al] = f[:, ws:we, hs:he, ls:le].max(
+                        axis=(1, 2, 3)
+                    )
+    output.copy_(torch.from_numpy(out))
+    return 1
+
+
+class _PyRoIPool:
+    """Stand-in for the legacy-autograd RoIPoolFunction (forward only)."""
+
+    def __init__(self, pw, ph, pl, scale):
+        self.args = (pw, ph, pl, float(scale))
+
+    def __call__(self, features, rois):
+        pw, ph, pl, scale = self.args
+        out = torch.zeros(
+            rois.shape[0], features.shape[1], int(pw), int(ph), int(pl)
+        )
+        _roi_pooling_forward_cpu(pw, ph, pl, scale, features, rois, out)
+        return out
+
+
+def _install_stubs():
+    sys.dont_write_bytecode = True  # never touch the read-only reference
+    if "easydict" not in sys.modules:
+        ed = types.ModuleType("easydict")
+
+        class EasyDict(dict):
+            def __init__(self, d=None):
+                super().__init__()
+                for k, v in (d or {}).items():
+                    self[k] = v
+
+            def __getattr__(self, k):
+                try:
+                    return self[k]
+                except KeyError:
+                    raise AttributeError(k)
+
+            __setattr__ = dict.__setitem__
+
+        ed.EasyDict = EasyDict
+        sys.modules["easydict"] = ed
+    if "ipdb" not in sys.modules:
+        m = types.ModuleType("ipdb")
+        m.set_trace = lambda *a, **k: None
+        sys.modules["ipdb"] = m
+    if "plyfile" not in sys.modules:
+        m = types.ModuleType("plyfile")
+        m.PlyData, m.PlyElement = object, object
+        sys.modules["plyfile"] = m
+    if "skimage" not in sys.modules:  # only used by TRAIN-mode target layers
+        m = types.ModuleType("skimage")
+        t = types.ModuleType("skimage.transform")
+        t.resize = None
+        m.transform = t
+        sys.modules["skimage"] = m
+        sys.modules["skimage.transform"] = t
+    if "lib.layer_utils.nms._ext" not in sys.modules:
+        m = types.ModuleType("lib.layer_utils.nms._ext")
+        m.nms = types.SimpleNamespace()  # only the numpy cpu_nms is used
+        sys.modules["lib.layer_utils.nms._ext"] = m
+    if "lib.layer_utils.roi_pooling._ext" not in sys.modules:
+        m = types.ModuleType("lib.layer_utils.roi_pooling._ext")
+        m.roi_pooling = types.SimpleNamespace(
+            roi_pooling_forward=_roi_pooling_forward_cpu
+        )
+        sys.modules["lib.layer_utils.roi_pooling._ext"] = m
+    # .cuda() -> identity (the reference hardcodes CUDA placement)
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+    torch.cuda.empty_cache = lambda: None
+
+
+@pytest.fixture(scope="module")
+def ref():
+    """(network_module, backbones_module, ref_cfg) with benchmark.yml
+    geometry-only settings applied to the reference's global cfg."""
+    _install_stubs()
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    cfg_mod = importlib.import_module("lib.utils.config")
+    rc = cfg_mod.cfg
+    # the reference's cfg_from_file uses the removed yaml.load(f) API;
+    # merge the same file manually (flat keys + the TRAIN/TEST sub-dicts)
+    import yaml
+
+    with open(os.path.join(REF, "experiments/cfgs/ScanNet/benchmark.yml")) as f:
+        y = yaml.safe_load(f)
+    for k, v in y.items():
+        if isinstance(v, dict):
+            for k2, v2 in v.items():
+                rc[k][k2] = v2
+        else:
+            rc[k] = v
+    rc.USE_IMAGES = False
+    rc.NUM_CLASSES = 19
+    rc.NORMALIZE_WEIGHTS = [1.0] * 19
+    # backbones FIRST: network.py circularly imports lib.nets.backbones and
+    # only resolves when backbones initiates the import chain
+    backbones = importlib.import_module("lib.nets.backbones")
+    network = importlib.import_module("lib.nets.network")
+    network.RoIPoolFunction = _PyRoIPool  # legacy autograd Function is a
+    # RuntimeError under modern torch; forward-only stand-in above
+    return network, backbones, rc
+
+
+def our_cfg():
+    from tpu3dsis.config import cfg_from_file
+
+    cfg = cfg_from_file(
+        os.path.join(REF, "experiments/cfgs/ScanNet/benchmark.yml")
+    )
+    cfg.LABEL_MAP = ""
+    cfg.NUM_CLASSES = 19
+    cfg.NORMALIZE_WEIGHTS = [1.0] * 19
+    cfg.USE_IMAGES = False
+    return cfg
+
+
+def make_chunk(seed=3):
+    """A chunk with box-like objects so the RPN/class heads see structure."""
+    rng = np.random.RandomState(seed)
+    sdf = np.full((96, 48, 96), 8.0, np.float32)
+    for x0, y0, z0, sx, sy, sz in (
+        (12, 6, 14, 14, 12, 14),
+        (50, 4, 20, 20, 6, 20),
+        (30, 8, 60, 53, 22, 24),
+    ):
+        sdf[x0 : x0 + sx, y0 : y0 + sy, z0 : z0 + sz] = 0.3
+        sdf[x0 + 1 : x0 + sx - 1, y0 + 1 : y0 + sy - 1, z0 + 1 : z0 + sz - 1] = -2.0
+    sdf += rng.randn(*sdf.shape).astype(np.float32) * 0.01
+    trunc = np.clip(sdf, -3, 3)
+    enc = np.stack(
+        [np.abs(trunc), (sdf > -1).astype(np.float32)], axis=-1
+    ).astype(np.float32)
+    return enc[None]  # (1, 96, 48, 96, 2)
+
+
+def t2n(x):
+    return x.detach().numpy()
+
+
+@pytest.fixture(scope="module")
+def parity(ref):
+    """Run both frameworks once; stages compared by individual tests."""
+    network_mod, backbones_mod, rc = ref
+
+    from tpu3dsis.models import Detector
+    from tpu3dsis.models.rpn import select_proposals
+    from tpu3dsis.train.checkpoint import params_to_torch_state_dict
+
+    cfg = our_cfg()
+    det = Detector(cfg, anchor_dir="experiments/anchors")
+    params = det.init_params(jax.random.PRNGKey(5))
+
+    net = backbones_mod.ScanNet_Backbone()
+    net.init_modules()
+    net.eval()
+    sd = {
+        k: torch.from_numpy(np.ascontiguousarray(v))
+        for k, v in params_to_torch_state_dict(params).items()
+    }
+    missing, unexpected = net.load_state_dict(sd, strict=False)
+    assert not missing, f"our params lack reference keys: {missing}"
+    assert not unexpected, f"our params have extra keys: {unexpected}"
+
+    scene = make_chunk()
+    out = {}
+
+    # --- reference TEST branch, stage by stage (network.py:245-301) -------
+    with torch.no_grad():
+        net.batch_size = 1
+        net._mode = "TEST"
+        net._scene_info = np.array([96, 48, 96, 2])
+        net._scene = torch.from_numpy(scene).permute(0, 4, 1, 2, 3).contiguous()
+        l1, l2, l3 = net._backbone()
+        net._anchor_component(
+            [l1.size(2), l1.size(3), l1.size(4)],
+            [l2.size(2), l2.size(3), l2.size(4)],
+            [],
+        )
+        net._region_proposal(l1, l2, None)
+        ref_rois = net._predictions["rois"][0]
+        ref_scores = net._predictions["roi_scores"][0]
+        ref_levels = net._predictions["level_inds"][0]
+        pool5 = net._roi_pool_layer(
+            l1, l2, None, ref_rois, ref_levels,
+            net._feat_stride, rc.CLASS_POOLING_SIZE,
+        )
+        fc7 = net._classifier(pool5)
+        net._region_classification(fc7)
+
+    out["ref"] = {
+        "l1": t2n(l1),
+        "l2": t2n(l2),
+        "rpn_prob_l1": t2n(net._predictions["rpn_cls_prob_level1"]),
+        "rpn_prob_l2": t2n(net._predictions["rpn_cls_prob_level2"]),
+        "rpn_bbox_l2": t2n(net._predictions["rpn_bbox_pred_level2"]),
+        "rois": t2n(ref_rois),
+        "roi_scores": t2n(ref_scores).reshape(-1),
+        "level_inds": t2n(ref_levels).reshape(-1),
+        "pool5": t2n(pool5),
+        "fc7": t2n(fc7),
+        "cls_prob": t2n(net._predictions["cls_prob"]),
+        "bbox_pred": t2n(net._predictions["bbox_pred"]),
+    }
+
+    # --- ours, same stages -------------------------------------------------
+    feats = det.features(params, jnp.asarray(scene))
+    rpn_out = det.rpn_forward(params, feats)
+    level_anchors = det.level_anchors((96, 48, 96))
+    prop = select_proposals(
+        rpn_out, level_anchors, (96, 48, 96),
+        int(cfg.TEST.RPN_PRE_NMS_TOP_N), int(cfg.TEST.RPN_POST_NMS_TOP_N),
+        float(cfg.TEST.RPN_NMS_THRESH),
+    )
+    # conditional stages on the REFERENCE's rois (isolates per-stage drift
+    # from proposal-order differences)
+    cls_score, cls_prob, cls_pred, bbox_pred = det.classify_rois(
+        params, feats,
+        jnp.asarray(out["ref"]["rois"][:, :6].astype(np.float32)),
+        jnp.asarray(out["ref"]["level_inds"].astype(np.int32)),
+    )
+    pred_box, conf, degenerate = det.decode_test_boxes(
+        jnp.asarray(out["ref"]["rois"][:, :6].astype(np.float32)),
+        cls_pred, cls_prob, bbox_pred, (96, 48, 96),
+    )
+    valid = np.asarray(prop["valid"])
+    out["ours"] = {
+        "l1": np.asarray(feats[1]),
+        "l2": np.asarray(feats[2]),
+        "rpn_prob_l1": np.asarray(rpn_out[1][1]),
+        "rpn_prob_l2": np.asarray(rpn_out[2][1]),
+        "rpn_bbox_l2": np.asarray(rpn_out[2][2]),
+        "rois": np.asarray(prop["rois"])[valid],
+        "roi_scores": np.asarray(prop["scores"])[valid],
+        "level_inds": np.asarray(prop["level_inds"])[valid],
+        "cls_prob": np.asarray(cls_prob),
+        "bbox_pred": np.asarray(bbox_pred),
+        "pred_box": np.asarray(pred_box),
+        "pred_conf": np.asarray(conf),
+    }
+    out["det"] = det
+    out["params"] = params
+    out["net"] = net
+    out["scene"] = scene
+    return out
+
+
+def test_backbone_parity(parity):
+    for key in ("l1", "l2"):
+        ref_x = np.moveaxis(parity["ref"][key], 1, -1)  # NCXYZ -> NXYZC
+        np.testing.assert_allclose(
+            ref_x, parity["ours"][key], atol=2e-4, rtol=1e-4
+        )
+
+
+def test_rpn_head_parity(parity):
+    # ref prob (N, 2, W, H, L, A) vs ours (N, W, H, L, 2, A)
+    for key in ("rpn_prob_l1", "rpn_prob_l2"):
+        ref_p = np.moveaxis(parity["ref"][key], 1, 4)
+        np.testing.assert_allclose(
+            ref_p, parity["ours"][key], atol=2e-4, rtol=1e-3
+        )
+    np.testing.assert_allclose(
+        parity["ref"]["rpn_bbox_l2"], parity["ours"]["rpn_bbox_l2"],
+        atol=2e-4, rtol=1e-3,
+    )
+
+
+def test_proposal_parity(parity):
+    """Same proposal SET as the reference's top-k + cpu_nms pipeline."""
+    ref_rois = parity["ref"]["rois"][:, :6]
+    our_rois = parity["ours"]["rois"]
+    assert len(ref_rois) == len(our_rois), (len(ref_rois), len(our_rois))
+    # match greedily by nearest box (order may differ for equal scores)
+    used = np.zeros(len(our_rois), bool)
+    for rb in ref_rois:
+        d = np.abs(our_rois - rb[None]).max(1)
+        d[used] = 1e9
+        j = int(np.argmin(d))
+        assert d[j] < 1e-2, f"no match for reference roi {rb}: best {d[j]}"
+        used[j] = True
+
+
+def test_classifier_parity(parity):
+    """RoI pool + classifier + heads on the REFERENCE's rois."""
+    np.testing.assert_allclose(
+        parity["ref"]["cls_prob"], parity["ours"]["cls_prob"],
+        atol=1e-4, rtol=1e-3,
+    )
+    np.testing.assert_allclose(
+        parity["ref"]["bbox_pred"], parity["ours"]["bbox_pred"],
+        atol=1e-3, rtol=1e-3,
+    )
+
+
+def test_box_decode_parity(parity, ref):
+    """Per-class decode + clip vs the reference's own bbox_transform_inv
+    (the TEST mask-branch decoding, network.py:287-301)."""
+    import importlib
+
+    bt = importlib.import_module("lib.utils.bbox_transform")
+    ref_prob = parity["ref"]["cls_prob"]
+    ref_bbox = parity["ref"]["bbox_pred"]
+    pred_class = ref_prob.argmax(1)
+    box_reg = np.zeros((len(pred_class), 6), np.float32)
+    for i, c in enumerate(pred_class):
+        box_reg[i] = ref_bbox[i, c * 6 : (c + 1) * 6]
+    ref_box = bt.bbox_transform_inv(
+        torch.from_numpy(parity["ref"]["rois"][:, :6].astype(np.float32)),
+        torch.from_numpy(box_reg),
+    )
+    ref_box = bt.clip_boxes(ref_box, np.array([96, 48, 96])).numpy()
+    np.testing.assert_allclose(
+        ref_box, parity["ours"]["pred_box"], atol=1e-2, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        ref_prob.max(1), parity["ours"]["pred_conf"], atol=1e-4
+    )
+
+
+def test_mask_fcn_parity(parity):
+    """Reference mask_backbone on an exact crop (network.py:303-317) vs our
+    region-masked canvas run on the same crop."""
+    net, det, params = parity["net"], parity["det"], parity["params"]
+    scene = parity["scene"]
+    crop = scene[:, 30:83, 8:30, 60:84]  # the sofa object
+    with torch.no_grad():
+        ref_m = net.mask_backbone(
+            torch.from_numpy(crop).permute(0, 4, 1, 2, 3).contiguous(), None
+        )
+    ours = det.mask_backbone.apply(
+        params, jnp.asarray(crop), training=False,
+        compute_dtype=det.cfg_static["compute_dtype"],
+    )
+    np.testing.assert_allclose(
+        np.moveaxis(t2n(ref_m), 1, -1), np.asarray(ours),
+        atol=2e-4, rtol=1e-3,
+    )
+
+
+def test_golden_fixture(parity):
+    """Pin our stage outputs; catches drift without the reference checkout
+    (and becomes the released-checkpoint harness once real weights land)."""
+    ours = {k: np.asarray(v) for k, v in parity["ours"].items()}
+    if not os.path.exists(GOLDEN):
+        os.makedirs(os.path.dirname(GOLDEN), exist_ok=True)
+        np.savez_compressed(
+            GOLDEN,
+            **{f"{k}": v for k, v in ours.items()},
+        )
+        pytest.skip("golden fixture created; commit it")
+    g = np.load(GOLDEN)
+    for k in ours:
+        np.testing.assert_allclose(
+            g[k], ours[k], atol=1e-4, rtol=1e-3,
+            err_msg=f"stage {k} drifted from the golden fixture",
+        )
