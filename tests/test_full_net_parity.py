@@ -40,137 +40,18 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-# --- CPU stand-ins for the reference's compiled CUDA-era extensions -------
+sys.path.insert(0, "tools")
+import refnet  # noqa: E402  (shared reference loader, tools/refnet.py)
 
-def _roi_pooling_forward_cpu(pw, ph, pl, scale, features, rois, output):
-    """Exact semantics of roi_pooling.c::roi_pooling_forward (reference
-    lib/layer_utils/roi_pooling/src/roi_pooling.c:6-120)."""
-    f = features.detach().numpy()[0]  # (C, W, H, L)
-    r = rois.detach().numpy()
-    dims = f.shape[1:]
-    pooled = (int(pw), int(ph), int(pl))
-    out = np.zeros((r.shape[0], f.shape[0], *pooled), np.float32)
-    for n in range(r.shape[0]):
-        start = [int(np.floor(r[n, i] * scale)) for i in range(3)]
-        end = [int(np.ceil(r[n, i + 3] * scale)) for i in range(3)]
-        size = [max(end[i] - start[i], 1) for i in range(3)]
-        bins = [size[i] / pooled[i] for i in range(3)]
-        for aw in range(pooled[0]):
-            ws = min(max(int(np.floor(aw * bins[0])) + start[0], 0), dims[0])
-            we = min(max(int(np.ceil((aw + 1) * bins[0])) + start[0], 0), dims[0])
-            for ah in range(pooled[1]):
-                hs = min(max(int(np.floor(ah * bins[1])) + start[1], 0), dims[1])
-                he = min(max(int(np.ceil((ah + 1) * bins[1])) + start[1], 0), dims[1])
-                for al in range(pooled[2]):
-                    ls = min(max(int(np.floor(al * bins[2])) + start[2], 0), dims[2])
-                    le = min(max(int(np.ceil((al + 1) * bins[2])) + start[2], 0), dims[2])
-                    if ws >= we or hs >= he or ls >= le:
-                        continue  # empty bin stays 0
-                    out[n, :, aw, ah, al] = f[:, ws:we, hs:he, ls:le].max(
-                        axis=(1, 2, 3)
-                    )
-    output.copy_(torch.from_numpy(out))
-    return 1
-
-
-class _PyRoIPool:
-    """Stand-in for the legacy-autograd RoIPoolFunction (forward only)."""
-
-    def __init__(self, pw, ph, pl, scale):
-        self.args = (pw, ph, pl, float(scale))
-
-    def __call__(self, features, rois):
-        pw, ph, pl, scale = self.args
-        out = torch.zeros(
-            rois.shape[0], features.shape[1], int(pw), int(ph), int(pl)
-        )
-        _roi_pooling_forward_cpu(pw, ph, pl, scale, features, rois, out)
-        return out
-
-
-def _install_stubs():
-    sys.dont_write_bytecode = True  # never touch the read-only reference
-    if "easydict" not in sys.modules:
-        ed = types.ModuleType("easydict")
-
-        class EasyDict(dict):
-            def __init__(self, d=None):
-                super().__init__()
-                for k, v in (d or {}).items():
-                    self[k] = v
-
-            def __getattr__(self, k):
-                try:
-                    return self[k]
-                except KeyError:
-                    raise AttributeError(k)
-
-            __setattr__ = dict.__setitem__
-
-        ed.EasyDict = EasyDict
-        sys.modules["easydict"] = ed
-    if "ipdb" not in sys.modules:
-        m = types.ModuleType("ipdb")
-        m.set_trace = lambda *a, **k: None
-        sys.modules["ipdb"] = m
-    if "plyfile" not in sys.modules:
-        m = types.ModuleType("plyfile")
-        m.PlyData, m.PlyElement = object, object
-        sys.modules["plyfile"] = m
-    if "skimage" not in sys.modules:  # only used by TRAIN-mode target layers
-        m = types.ModuleType("skimage")
-        t = types.ModuleType("skimage.transform")
-        t.resize = None
-        m.transform = t
-        sys.modules["skimage"] = m
-        sys.modules["skimage.transform"] = t
-    if "lib.layer_utils.nms._ext" not in sys.modules:
-        m = types.ModuleType("lib.layer_utils.nms._ext")
-        m.nms = types.SimpleNamespace()  # only the numpy cpu_nms is used
-        sys.modules["lib.layer_utils.nms._ext"] = m
-    if "lib.layer_utils.roi_pooling._ext" not in sys.modules:
-        m = types.ModuleType("lib.layer_utils.roi_pooling._ext")
-        m.roi_pooling = types.SimpleNamespace(
-            roi_pooling_forward=_roi_pooling_forward_cpu
-        )
-        sys.modules["lib.layer_utils.roi_pooling._ext"] = m
-    # .cuda() -> identity (the reference hardcodes CUDA placement)
-    torch.Tensor.cuda = lambda self, *a, **k: self
-    torch.nn.Module.cuda = lambda self, *a, **k: self
-    torch.cuda.empty_cache = lambda: None
+_PyRoIPool = refnet.PyRoIPool  # stage tests reference these names
+_roi_pooling_forward_cpu = refnet.roi_pooling_forward_cpu
 
 
 @pytest.fixture(scope="module")
 def ref():
     """(network_module, backbones_module, ref_cfg) with benchmark.yml
     geometry-only settings applied to the reference's global cfg."""
-    _install_stubs()
-    if REF not in sys.path:
-        sys.path.insert(0, REF)
-    cfg_mod = importlib.import_module("lib.utils.config")
-    rc = cfg_mod.cfg
-    # the reference's cfg_from_file uses the removed yaml.load(f) API;
-    # merge the same file manually (flat keys + the TRAIN/TEST sub-dicts)
-    import yaml
-
-    with open(os.path.join(REF, "experiments/cfgs/ScanNet/benchmark.yml")) as f:
-        y = yaml.safe_load(f)
-    for k, v in y.items():
-        if isinstance(v, dict):
-            for k2, v2 in v.items():
-                rc[k][k2] = v2
-        else:
-            rc[k] = v
-    rc.USE_IMAGES = False
-    rc.NUM_CLASSES = 19
-    rc.NORMALIZE_WEIGHTS = [1.0] * 19
-    # backbones FIRST: network.py circularly imports lib.nets.backbones and
-    # only resolves when backbones initiates the import chain
-    backbones = importlib.import_module("lib.nets.backbones")
-    network = importlib.import_module("lib.nets.network")
-    network.RoIPoolFunction = _PyRoIPool  # legacy autograd Function is a
-    # RuntimeError under modern torch; forward-only stand-in above
-    return network, backbones, rc
+    return refnet.load_reference()
 
 
 def our_cfg():
