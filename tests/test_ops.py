@@ -182,3 +182,24 @@ def test_nms_tiled_multi_tile_matches_oracle(rng):
     )
     assert not keep[200:].any()
     np.testing.assert_array_equal(np.where(keep[:200])[0], expect)
+
+
+def test_roi_pool_segmented_matches_reference(rng):
+    """The one-pass segment variant (documented negative perf result) must
+    stay bit-identical to the masked reduction / reference semantics."""
+    import jax.numpy as jnp
+
+    from tpu3dsis.ops.roi_pool3d import (
+        roi_pool3d_reference,
+        roi_pool3d_segmented,
+    )
+
+    feat = jnp.asarray(rng.randn(12, 8, 12, 16).astype(np.float32))
+    rois = np.zeros((40, 6), np.float32)
+    lo = rng.randint(0, 44, (40, 3))
+    sz = rng.randint(1, 40, (40, 3))
+    rois[:, :3] = lo
+    rois[:, 3:] = lo + sz  # some extend past the volume: empty-bin clipping
+    got = np.asarray(roi_pool3d_segmented(feat, jnp.asarray(rois), 4, 0.25))
+    want = np.asarray(roi_pool3d_reference(feat, jnp.asarray(rois), 4, 0.25))
+    np.testing.assert_array_equal(got, want)

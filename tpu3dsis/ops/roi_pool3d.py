@@ -185,6 +185,69 @@ def _pool_rois_tabled(feat, rois, pooled, spatial_scale):
     return jax.vmap(one)(rois)
 
 
+# ---------------------------------------------------------------------------
+# One-pass disjoint-segment decomposition (BENCH_NOTES round-2 item) —
+# MEASURED NEGATIVE RESULT, kept for the record like the table/Pallas
+# variants.
+#
+# The masked reduction reads the feature map P times per axis (once per
+# output bin). The reference's bins are NEARLY disjoint: bin p covers
+# [floor(p*b), ceil((p+1)*b)) and overlaps its left neighbour by at most the
+# single voxel floor(p*b). Assigning every voxel to exactly ONE segment
+# (seg(v) = floor((v-lo)*P/size), exact in integer arithmetic for the
+# reference's float bin math because P is a power of two) gives
+#     bin_max[p] = max(segment_max[p], feat[bin_start_p])
+# — one segment-max pass plus P gathered boundary rows per axis. On v5e
+# (tools/bench_roi_pool.py) this is 3.3x SLOWER than the masked reduction
+# (7.7 vs 2.3 ms / 200 rois): vmapped segment_max lowers to batched
+# scatter-max, which serializes, while the P "redundant" masked passes are
+# fused streaming reads. The op is VPU-bound, not bandwidth-bound (same
+# conclusion as the Pallas experiment).
+# ---------------------------------------------------------------------------
+
+
+def _axis_seg_pool(feat, axis, lo, hi, pooled, extent):
+    """One-pass per-axis pooling: (..., extent, ...) -> (..., pooled, ...).
+
+    Returns (pooled_feat with `axis` replaced by P bins, nonempty (P,))."""
+    size = jnp.maximum(hi - lo, 1)
+    v = jnp.arange(extent)
+    valid = (v >= lo) & (v < hi)
+    seg = jnp.where(valid, (v - lo) * pooled // size, pooled)  # P = dropped
+    moved = jnp.moveaxis(feat, axis, 0)
+    seg_max = jax.ops.segment_max(
+        moved, seg, num_segments=pooled + 1, indices_are_sorted=True
+    )[:pooled]
+    # boundary fixup: bin p always contains its (clipped) start voxel, which
+    # may belong to segment p-1
+    p = jnp.arange(pooled, dtype=jnp.float32)
+    bin_size = size.astype(jnp.float32) / pooled
+    start = jnp.clip(jnp.floor(p * bin_size).astype(jnp.int32) + lo, 0, extent)
+    end = jnp.clip(jnp.ceil((p + 1) * bin_size).astype(jnp.int32) + lo, 0, extent)
+    ok = end > start  # reference empty-bin rule (_axis_masks)
+    out = jnp.maximum(seg_max, moved[jnp.minimum(start, extent - 1)])
+    return jnp.moveaxis(out, 0, axis), ok
+
+
+def _pool_one_segmented(feat, roi, pooled, spatial_scale):
+    """One-pass variant of :func:`_pool_one` (identical outputs)."""
+    w, h, l, _ = feat.shape
+    lo = jnp.floor(roi[:3] * spatial_scale).astype(jnp.int32)
+    hi = jnp.ceil(roi[3:6] * spatial_scale).astype(jnp.int32)
+    fx, okx = _axis_seg_pool(feat, 0, lo[0], hi[0], pooled, w)
+    fy, oky = _axis_seg_pool(fx, 1, lo[1], hi[1], pooled, h)
+    fz, okz = _axis_seg_pool(fy, 2, lo[2], hi[2], pooled, l)
+    ok = okx[:, None, None] & oky[None, :, None] & okz[None, None, :]
+    return jnp.where(ok[..., None], fz, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("pooled", "spatial_scale"))
+def roi_pool3d_segmented(feat, rois, pooled: int, spatial_scale: float):
+    return jax.vmap(lambda r: _pool_one_segmented(feat, r, pooled, spatial_scale))(
+        rois
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("pooled", "spatial_scale"))
 def roi_pool3d(feat, rois, pooled: int, spatial_scale: float):
     """feat: (W, H, L, C) single sample; rois: (R, 6) -> (R, P, P, P, C).
@@ -205,8 +268,11 @@ def roi_pool3d_multilevel(feats, rois, level_inds, pooled: int, spatial_scales):
 
     feats: tuple of (W, H, L, C) feature maps (one per level, 1-indexed);
     level_inds: (R,) int level of each roi. Every roi is pooled on every
-    level and the right one is selected — branch-free and fixed-shape; the
-    level count is <= 3 so the overhead is bounded and the MXU stays busy.
+    level and the right one is selected — branch-free and fixed-shape.
+    Measured alternative (tools/bench_roi_pool.py, v5e): gathering each
+    roi's OWN level from a stacked feature array and pooling once is 2x
+    SLOWER (6.2 vs 3.0 ms / 200 rois, f32) — the per-roi full-feature-map
+    gather costs more than the second pool, which XLA streams.
     """
     pooled_all = [
         roi_pool3d(f, rois, pooled, s) for f, s in zip(feats, spatial_scales)
