@@ -68,6 +68,10 @@ def pad_volume(data: np.ndarray, tile_shape, pad_value=(3.0, 1.0)):
     return data
 
 
+# per-tile outputs the stitching loop actually reads (detect() below)
+_STITCH_KEYS = ("valid", "degenerate", "pred_conf", "cls_pred", "pred_box")
+
+
 class SceneInference:
     """Compile-once whole-scene detector (+ optional masks)."""
 
@@ -76,6 +80,16 @@ class SceneInference:
         self.cfg = cfg
         self.tile = tuple(int(t) for t in cfg.TPU_TILE_SIZE)
         self.stride = tuple(int(s) for s in cfg.TPU_TILE_STRIDE)
+        # mask-FCN window canvas: smaller than the tile (halo windows keep
+        # masks exact for boxes of ANY size) => ~2.3x less FCN compute per
+        # window at the default [64, 48, 64] vs the round-1 full-tile canvas
+        self.mask_canvas = tuple(
+            min(int(c), int(t))
+            for c, t in zip(
+                dict.get(cfg, "TPU_MASK_INFER_CANVAS", [64, 48, 64]),
+                cfg.TPU_TILE_SIZE,
+            )
+        )
         self.tile_batch = tile_batch
         self._single = build_inference_fn(detector, cfg, self.tile, mode="TEST")
         single = self._single
@@ -98,7 +112,11 @@ class SceneInference:
                     scene_dev, (origin[0], origin[1], origin[2], 0),
                     (*self.tile, 2),
                 )
-                return single(params, t[None])
+                out = single(params, t[None])
+                # download ONLY what stitching consumes: the full head
+                # outputs (cls_prob/bbox_pred/rois/...) are ~10x the bytes
+                # and each extra key costs a tunnel round trip
+                return {k: out[k] for k in _STITCH_KEYS}
 
             return jax.lax.map(lambda ob: jax.vmap(one)(ob), origins)
 
@@ -135,7 +153,8 @@ class SceneInference:
                         "world_to_grid": w2g,
                         "view_valid": ok,
                     }
-                    return single(params, scene[None], frames)
+                    out = single(params, scene[None], frames)
+                    return {k: out[k] for k in _STITCH_KEYS}
 
                 return jax.vmap(one)(origins, w2gs, sel_idx, sel_valid)
 
@@ -144,16 +163,16 @@ class SceneInference:
     # --- mask on fixed crop canvas ---------------------------------------
     def _build_mask_fn(self):
         det = self.det
-        tx, ty, tz = self.tile
+        tx, ty, tz = self.mask_canvas
         thresh = float(self.cfg.MASK_THRESH)
 
         def mask_batch(params, scene_dev, starts, locals_, labels):
             """Device-resident masks: crop + region + FCN + threshold on-chip.
 
             starts: (M, 3) crop-window origins; locals_: (M, 6) the box in
-            window coords; labels: (M,). Returns (M, tx, ty, tz) uint8 —
-            ~0.4 MB per mask back over the wire instead of f32 probs, with
-            no crop upload at all.
+            window coords; labels: (M,). Returns (M, ceil(tx*ty*tz/8))
+            BIT-PACKED thresholded masks — 32x fewer bytes than f32 probs
+            through the ~35 MB/s tunnel, with no crop upload at all.
             """
             ix = jnp.arange(tx)[:, None, None]
             iy = jnp.arange(ty)[None, :, None]
@@ -176,7 +195,8 @@ class SceneInference:
                     region_mask=region[None, ..., None],
                     compute_dtype=det.cfg_static["compute_dtype"],
                 )
-                return (probs[0, :, :, :, label] >= thresh).astype(jnp.uint8)
+                bits = (probs[0, :, :, :, label] >= thresh).reshape(-1)
+                return jnp.packbits(bits)
 
             return jax.lax.map(one, (starts, locals_, labels))
 
@@ -194,7 +214,7 @@ class SceneInference:
         window grid yields the identical crop on-chip.
         """
         det = self.det
-        tx, ty, tz = self.tile
+        tx, ty, tz = self.mask_canvas
         thresh = float(self.cfg.MASK_THRESH)
         proj = det.color_projector
 
@@ -233,13 +253,28 @@ class SceneInference:
                     region_mask=region[None, ..., None],
                     compute_dtype=det.cfg_static["compute_dtype"],
                 )
-                return (probs[0, :, :, :, label] >= thresh).astype(jnp.uint8)
+                bits = (probs[0, :, :, :, label] >= thresh).reshape(-1)
+                return jnp.packbits(bits)
 
             return jax.lax.map(
                 one, (starts, locals_, labels, w2gs, sel_idx, sel_valid)
             )
 
         return mask_batch
+
+    def _device_params(self, params):
+        """device_put the param dict ONCE per params identity.
+
+        Host-numpy params are ~21 MB; without this every dispatch re-uploads
+        them through the ~35 MB/s tunnel (0.6 s per call — measured as the
+        dominant cost of whole-scene detect before this cache).
+        """
+        cached = getattr(self, "_params_cache", None)
+        if cached is not None and cached[0] is params:
+            return cached[1]
+        dev = {k: jax.device_put(jnp.asarray(v)) for k, v in params.items()}
+        self._params_cache = (params, dev)
+        return dev
 
     def _device_scene(self, scene_data: np.ndarray):
         """Pad to bucketed shape (48-voxel multiples) and device_put ONCE.
@@ -253,7 +288,9 @@ class SceneInference:
         data = pad_volume(scene_data.astype(np.float32), self.tile)
         bucket = [((d + 47) // 48) * 48 for d in data.shape[:3]]
         data = pad_volume(data, bucket)
-        scene_dev = jax.device_put(jnp.asarray(data))
+        # upload at the compute dtype: bf16 halves the ~35 MB/s tunnel
+        # transfer, and the first conv casts to bf16 anyway (identical math)
+        scene_dev = jax.device_put(jnp.asarray(data, dtype=self._dtype))
         self._scene_cache = (scene_data, data, scene_dev)
         return data, scene_dev
 
@@ -319,6 +356,7 @@ class SceneInference:
         """
         cfg = self.cfg
         tx, ty, tz = self.tile
+        params = self._device_params(params)
         data, scene_dev = self._device_scene(scene_data)
         xs = tile_origins(data.shape[0], tx, self.stride[0])
         ys = tile_origins(data.shape[1], ty, self.stride[1])
@@ -375,7 +413,7 @@ class SceneInference:
                     jnp.asarray(padb(sel_idx, i)),
                     jnp.asarray(padb(sel_valid, i)),
                 )
-                batch_outs.append({k: np.asarray(v) for k, v in out.items()})
+                batch_outs.append(jax.device_get(out))  # one bulk transfer
             out_np = {
                 k: np.concatenate([b[k] for b in batch_outs])
                 for k in batch_outs[0]
@@ -385,6 +423,7 @@ class SceneInference:
                 [padb(origins_np, i) for i in range(0, n, bs)]
             )  # (nb_batches, bs, 3)
             out = self._tiled_fn(params, scene_dev, jnp.asarray(all_origins))
+            out = jax.device_get(out)  # one bulk transfer, not one per key
             out_np = {
                 k: np.asarray(v).reshape(nb_batches * bs, *v.shape[2:])
                 for k, v in out.items()
@@ -467,7 +506,8 @@ class SceneInference:
             )
         from tpu3dsis.ops.mask_windows import plan_windows_np
 
-        tx, ty, tz = self.tile
+        tx, ty, tz = self.mask_canvas
+        params = self._device_params(params)
         data, scene_dev = self._device_scene(scene_data)
         scene_shape = data.shape[:3]
 
@@ -557,6 +597,10 @@ class SceneInference:
                         jnp.asarray(padb(locals6)), jnp.asarray(padb(labels)),
                     )
                 )[:m]
+            # bit-packed windows -> (m, tx, ty, tz)
+            got = np.unpackbits(got, axis=1, count=tx * ty * tz).reshape(
+                m, tx, ty, tz
+            )
             for j in range(m):
                 b = box_idx[i + j]
                 own = owns[i + j]
