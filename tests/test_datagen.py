@@ -316,3 +316,92 @@ def test_render_and_fuse_cube_roundtrip():
     # labels voted onto the surface
     lbl = grid.label[near_surface]
     assert (lbl == 5).mean() > 0.8
+
+
+def _room_mesh():
+    """A 4x2.6x4 m room: floor + 2 walls (label 0) and two labeled boxes."""
+    verts, faces, sem, inst = [], [], [], []
+
+    def add_quad(corners, label, instance):
+        base = len(verts)
+        verts.extend(corners)
+        faces.extend([[base, base + 1, base + 2], [base, base + 2, base + 3]])
+        sem.extend([label, label])
+        inst.extend([instance, instance])
+
+    def add_box(lo, hi, label, instance):
+        x0, y0, z0 = lo
+        x1, y1, z1 = hi
+        # 6 faces
+        add_quad([(x0, y0, z0), (x1, y0, z0), (x1, y1, z0), (x0, y1, z0)], label, instance)
+        add_quad([(x0, y0, z1), (x1, y0, z1), (x1, y1, z1), (x0, y1, z1)], label, instance)
+        add_quad([(x0, y0, z0), (x0, y0, z1), (x0, y1, z1), (x0, y1, z0)], label, instance)
+        add_quad([(x1, y0, z0), (x1, y0, z1), (x1, y1, z1), (x1, y1, z0)], label, instance)
+        add_quad([(x0, y1, z0), (x1, y1, z0), (x1, y1, z1), (x0, y1, z1)], label, instance)
+        add_quad([(x0, y0, z0), (x1, y0, z0), (x1, y0, z1), (x0, y0, z1)], label, instance)
+
+    add_quad([(0, 0, 0), (4, 0, 0), (4, 0, 4), (0, 0, 4)], 0, 0)  # floor
+    add_quad([(0, 0, 0), (4, 0, 0), (4, 2.6, 0), (0, 2.6, 0)], 0, 0)  # wall z=0
+    add_quad([(0, 0, 0), (0, 0, 4), (0, 2.6, 4), (0, 2.6, 0)], 0, 0)  # wall x=0
+    add_box((1.0, 0, 1.0), (1.8, 0.8, 1.8), 5, 1)  # chair-ish
+    add_box((2.4, 0, 2.2), (3.6, 0.5, 3.0), 7, 2)  # table-ish
+    return (np.asarray(verts, float), np.asarray(faces), 
+            np.asarray(sem, np.uint8), np.asarray(inst, np.uint16))
+
+
+def test_evaluate_view_scoring():
+    """Views full of labeled objects at scanner-like depths outscore empty
+    or degenerate views (ViewGenerator.h:219-254 semantics)."""
+    from tpu3dsis.datagen.virtual_scan import ViewStats, evaluate_view
+
+    stats = ViewStats()
+    h, w = 24, 32
+    good_d = np.full((h, w), 2.0, np.float32)
+    good_s = np.full((h, w), 5, np.uint8)
+    empty_d = np.zeros((h, w), np.float32)
+    empty_s = np.zeros((h, w), np.uint8)
+    far_d = np.full((h, w), 7.5, np.float32)  # beyond the 6 m eval depth
+
+    ob_good, hist_good = evaluate_view(good_d, good_s, stats)
+    ob_empty, _ = evaluate_view(empty_d, empty_s, stats)
+    ob_far, _ = evaluate_view(far_d, good_s, stats)
+    assert ob_good == 1.0 and ob_empty == 0.0 and ob_far == 0.0
+    assert 0.0 < hist_good <= 1.0
+
+
+def test_camera_pose_conventions():
+    from tpu3dsis.datagen.virtual_scan import camera_pose
+
+    # pitch +20 looks DOWN (reference: + => down); yaw 0 looks +z
+    p = camera_pose(np.array([1.0, 1.5, 1.0]), 0.0, 20.0)
+    look = p[:3, 2]
+    assert look[2] > 0.9 and look[1] < -0.05
+    # rotation part orthonormal
+    np.testing.assert_allclose(p[:3, :3] @ p[:3, :3].T, np.eye(3), atol=1e-6)
+
+
+def test_virtual_scan_end_to_end():
+    """SUNCGScan equivalent: key views cover the room, the fused grid
+    contains both labeled objects, and instance masks extract."""
+    from tpu3dsis.datagen.virtual_scan import ViewGenerator, virtual_scan
+    from tpu3dsis.datagen.mesh_render import MeshRenderer
+
+    verts, faces, sem, inst = _room_mesh()
+    grid, w2g, cams = virtual_scan(
+        verts, faces, sem, inst, voxel_size=0.1, width=48, height=36,
+        seed=3, max_views=60,
+    )
+    assert len(cams) >= 4  # several key views accepted
+    occupied = (grid.weight > 0) & (np.abs(grid.sdf) <= 1.0)
+    assert occupied.sum() > 300
+    labels = set(np.unique(grid.label[occupied])) - {0}
+    assert {5, 7} <= labels, labels
+
+    # aabb/mask extraction for the chair (world -> grid coords)
+    lo = (w2g @ np.array([1.0, 0, 1.0, 1.0]))[:3]
+    hi = (w2g @ np.array([1.8, 0.8, 1.8, 1.0]))[:3]
+    # the fused shell sits within ~2 voxels of the exact geometry
+    aabb = np.concatenate([lo - 2, hi + 2])
+    mask, n_inst, n_occ = grid.instance_mask_for_aabb(aabb, 1)
+    assert n_inst > 10
+    assert mask.sum() == n_inst
