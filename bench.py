@@ -108,24 +108,36 @@ def bench_masked_scene(jax):
         params.setdefault(k, np.asarray(v))
     si = SceneInference(det, cfg)
 
-    rng = np.random.RandomState(7)
-    scene, _, _ = tpc.make_scene(rng, cfg, mapping, n_objects=24)
+    k = 4
+    scenes = [
+        tpc.make_scene(np.random.RandomState(7 + i), cfg, mapping,
+                       n_objects=24)[0]
+        for i in range(k)
+    ]
 
-    # warmup: compile both detect + mask programs
-    out = si.detect(params, scene)
-    masks = si.predict_masks(params, scene, out)
-    n_det = len(out["pred_box"])
+    # warmup: one full pass compiles detect + every mask batch bucket
+    n_det = 0
+    for s in scenes:
+        out = si.detect(params, s)
+        masks = si.predict_masks(params, s, out)
+        n_det += len(out["pred_box"])
 
-    reps = 3
+    # timed: a STREAM of distinct scenes; scene i+1's host->device upload
+    # (prefetch thread) overlaps scene i's compute — the serving shape of
+    # the workload. Fresh array copies so every upload really happens.
+    reps = 2
+    stream = [s.copy() for _ in range(reps) for s in scenes]
     t0 = time.perf_counter()
-    for _ in range(reps):
-        si._scene_cache = None  # count the scene upload every rep
-        out = si.detect(params, scene)
-        masks = si.predict_masks(params, scene, out)
+    si.prefetch_scene(stream[0])
+    for j, s in enumerate(stream):
+        if j + 1 < len(stream):
+            si.prefetch_scene(stream[j + 1])
+        out = si.detect(params, s)
+        masks = si.predict_masks(params, s, out)
         assert len(masks) == len(out["pred_box"])
-    dt = (time.perf_counter() - t0) / reps
-    return {"scenes_per_min_masked": 60.0 / dt, "detections": int(n_det),
-            "scene_s": dt}
+    dt = (time.perf_counter() - t0) / len(stream)
+    return {"scenes_per_min_masked": 60.0 / dt,
+            "detections": int(round(n_det / k)), "scene_s": dt}
 
 
 def main():

@@ -119,6 +119,11 @@ def test_two_process_cpu_cluster(tmp_path):
         env = dict(os.environ)
         env.pop("JAX_PLATFORMS", None)
         env.pop("XLA_FLAGS", None)
+        # the worker script lives in tmp_path, so python puts tmp_path (not
+        # the repo) on sys.path — make tpu3dsis importable without requiring
+        # the package to be pip-installed
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
         env.update(
             TPU3DSIS_COORDINATOR=f"127.0.0.1:{port}",
             TPU3DSIS_NUM_PROCESSES="2",

@@ -87,6 +87,47 @@ def test_scene_inference_smoke(scannet_cfg):
 
 
 @pytest.mark.slow
+def test_prefetch_scene_stream_equivalence(scannet_cfg):
+    """prefetch_scene (background upload thread) must be a pure pipelining
+    optimization: detections identical to the direct path, across a stream
+    of scenes, including re-detection of an already-consumed scene."""
+    import jax
+
+    from tpu3dsis.infer.tiling import SceneInference
+    from tpu3dsis.models import Detector
+
+    cfg = scannet_cfg.copy()
+    cfg.TPU_TILE_SIZE = [48, 48, 48]
+    cfg.TPU_TILE_STRIDE = [36, 36, 36]
+    cfg.TEST.RPN_PRE_NMS_TOP_N = 64
+    cfg.TEST.RPN_POST_NMS_TOP_N = 8
+    cfg.CLASS_THRESH = 0.0
+    det = Detector(cfg, anchor_dir="experiments/anchors")
+    params = det.init_params(jax.random.PRNGKey(0))
+    si = SceneInference(det, cfg, tile_batch=4)
+
+    scenes = [
+        np.random.RandomState(i).randn(60, 48, 60, 2).astype(np.float32)
+        for i in range(3)
+    ]
+    direct = [si.detect(params, s) for s in scenes]
+
+    si2 = SceneInference(det, cfg, tile_batch=4)
+    si2.prefetch_scene(scenes[0])
+    streamed = []
+    for j, s in enumerate(scenes):
+        if j + 1 < len(scenes):
+            si2.prefetch_scene(scenes[j + 1])
+        streamed.append(si2.detect(params, s))
+    # re-detect a consumed scene: falls back to a fresh synchronous upload
+    streamed[0] = si2.detect(params, scenes[0])
+
+    for want, got in zip(direct, streamed):
+        for k in want:
+            np.testing.assert_array_equal(want[k], got[k])
+
+
+@pytest.mark.slow
 def test_predict_masks_oversize_box_exact(scannet_cfg):
     """A box larger than the tile canvas gets a halo-windowed mask equal to
     the exact full-scene-crop computation (round-1 truncated it)."""

@@ -74,14 +74,42 @@ def run_scenes(
     )
 
     n = len(dataset) if max_scenes is None else min(max_scenes, len(dataset))
-    for idx in range(n):
+    todo = [
+        idx
+        for idx in range(n)
+        if not (
+            mode == "benchmark"
+            and os.path.isfile(
+                os.path.join(
+                    _scene_dir(save_dir, dataset.scenes[idx]), "pred_box.npy"
+                )
+            )
+        )
+    ]
+
+    # scene-stream pipelining: one loader thread reads scene i+1 from disk
+    # and starts its host->device transfer (SceneInference.prefetch_scene,
+    # itself on a second thread) while scene i computes — upload is ~45% of
+    # per-scene wall time through the tunnel, hidden entirely in steady state
+    from concurrent.futures import ThreadPoolExecutor
+
+    loader = ThreadPoolExecutor(max_workers=1, thread_name_prefix="scene-load")
+
+    def _fetch(i):
+        s = dataset[i]
+        si.prefetch_scene(s.data)
+        return s
+
+    pending = loader.submit(_fetch, todo[0]) if todo else None
+    for pos, idx in enumerate(todo):
         scene_path = dataset.scenes[idx]
         out_dir = _scene_dir(save_dir, scene_path)
-        if mode == "benchmark" and os.path.isfile(
-            os.path.join(out_dir, "pred_box.npy")
-        ):
-            continue
-        sample = dataset[idx]
+        sample = pending.result()
+        pending = (
+            loader.submit(_fetch, todo[pos + 1])
+            if pos + 1 < len(todo)
+            else None
+        )
         frames = None
         if cfg.USE_IMAGES and sample.images is not None:
             frames = {
@@ -137,6 +165,7 @@ def run_scenes(
                     sample.data.shape[:3],
                 )
 
+    loader.shutdown(wait=False)
     if mode == "test":
         map_cls.finalize()
         results = {"mAP_CLASSIFICATION": map_cls.mAP()}
