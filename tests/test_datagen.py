@@ -405,3 +405,104 @@ def test_virtual_scan_end_to_end():
     mask, n_inst, n_occ = grid.instance_mask_for_aabb(aabb, 1)
     assert n_inst > 10
     assert mask.sum() == n_inst
+
+
+# --- marching tetrahedra (reference MarchingCubes.h debug-mesh parity) -----
+
+
+def _sphere_sdf(dim=24, radius=8.0):
+    c = (dim - 1) / 2.0
+    g = np.arange(dim)
+    x, y, z = np.meshgrid(g, g, g, indexing="ij")
+    return (np.sqrt((x - c) ** 2 + (y - c) ** 2 + (z - c) ** 2) - radius)
+
+
+def test_marching_tets_sphere_geometry():
+    from tpu3dsis.datagen.marching_tets import extract_isosurface
+
+    dim, radius = 24, 8.0
+    sdf = _sphere_sdf(dim, radius).astype(np.float32)
+    verts, faces = extract_isosurface(sdf)
+    assert len(faces) > 100 and len(verts) > 50
+    c = (dim - 1) / 2.0
+    r = np.linalg.norm(verts - c, axis=1)
+    # vertices sit on the isosurface of the *sampled* field: within half a
+    # voxel of the analytic sphere
+    assert abs(r.mean() - radius) < 0.2
+    assert np.abs(r - radius).max() < 0.5
+
+    # watertight: the Freudenthal split is translation-consistent, so every
+    # edge must bound exactly two triangles
+    edges = np.concatenate(
+        [faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]]
+    )
+    edges = np.sort(edges, axis=1)
+    _, counts = np.unique(edges, axis=0, return_counts=True)
+    assert (counts == 2).all()
+
+    # outward orientation: triangle normals point away from the center
+    # (sdf increases outward)
+    tv = verts[faces]
+    n = np.cross(tv[:, 1] - tv[:, 0], tv[:, 2] - tv[:, 0])
+    outward = (n * (tv.mean(1) - c)).sum(1)
+    assert (outward > 0).all()
+
+
+def test_marching_tets_band_and_invalid_skip():
+    from tpu3dsis.datagen.marching_tets import extract_isosurface
+
+    sdf = _sphere_sdf().astype(np.float32)
+    # truncation band: skip tets touching |sdf| >= band — surface persists
+    # (it lives at |sdf| ~ 0) but nothing is emitted outside the band
+    verts, faces = extract_isosurface(sdf, band=2.0)
+    assert len(faces) > 100
+    # non-finite (never-observed) voxels produce nothing
+    empty = np.full((16, 16, 16), -np.inf, np.float32)
+    verts, faces = extract_isosurface(empty)
+    assert len(faces) == 0
+    # constant field: no crossings
+    verts, faces = extract_isosurface(np.ones((8, 8, 8), np.float32))
+    assert len(faces) == 0
+
+
+def test_marching_tets_scsdf_to_ply(tmp_path):
+    from tpu3dsis.datagen.marching_tets import scsdf_to_ply
+    from tpu3dsis.tools.ply import read_ply
+
+    sdf = _sphere_sdf().astype(np.float32)
+    path = tmp_path / "s.scsdf"
+    tf.save_scsdf(str(path), sdf, 0.05, [1.0, 2.0, 3.0], [2.2, 3.2, 4.2])
+    out = tmp_path / "s.ply"
+    verts, faces = scsdf_to_ply(str(path), str(out))
+    got = read_ply(str(out))
+    gv = np.stack(
+        [got["vertex"]["x"], got["vertex"]["y"], got["vertex"]["z"]], axis=1
+    )
+    assert len(gv) == len(verts) and len(got["face"]) == len(faces)
+    # placed at bbox_min + voxel_size * p
+    lo = np.array([1.0, 2.0, 3.0])
+    assert (gv >= lo - 1e-3).all()
+    assert (gv <= lo + 0.05 * 24 + 1e-3).all()
+
+
+def test_fuse_scene_debug_mesh(tmp_path):
+    """s_bDebugOut parity: fuse_scene can dump the fused isosurface PLY;
+    for a frontal wall at z=1m the mesh must sit at the wall."""
+    from tpu3dsis.tools.ply import read_ply
+
+    K = np.eye(4)
+    K[0, 0] = K[1, 1] = 50.0
+    K[0, 2], K[1, 2] = 32, 24
+    depth = np.full((48, 64), 1.0, np.float32)
+    out = tmp_path / "debug.ply"
+    tf.fuse_scene(
+        [(K, np.eye(4), depth)],
+        ((-0.3, -0.3, 0.5), (0.3, 0.3, 1.3)),
+        voxel_size=0.05,
+        pad=4,
+        debug_mesh_path=str(out),
+    )
+    got = read_ply(str(out))
+    z = got["vertex"]["z"]
+    assert len(z) > 20
+    assert np.abs(z - 1.0).max() < 0.08  # within ~1.5 voxels of the wall

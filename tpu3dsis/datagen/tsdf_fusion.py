@@ -157,11 +157,14 @@ def fuse_scene(
     pad=16,
     depth_min=0.4,
     depth_max=4.0,
+    debug_mesh_path=None,
 ):
     """Fuse a list of (intrinsic, pose, depth[, label, instance]) frames.
 
     bbox_world: (min3, max3) world-space scene bounds. Returns (VoxelGrid,
     world_to_grid) with dims = round(extent/voxel) + 2*pad (Fuser.cpp:43-45).
+    debug_mesh_path: write the fused isosurface as a PLY for inspection
+    (the reference's s_bDebugOut marching-cubes dump, Fuser.cpp:88-126).
     """
     bmin, bmax = np.asarray(bbox_world[0]), np.asarray(bbox_world[1])
     dims = np.round((bmax - bmin) / voxel_size).astype(int) + 2 * pad
@@ -170,6 +173,12 @@ def fuse_scene(
     for frame in frames:
         grid.integrate(*frame)
     grid.normalize_sdfs()
+    if debug_mesh_path:
+        from tpu3dsis.datagen.marching_tets import grid_to_mesh
+        from tpu3dsis.tools.ply import write_ply
+
+        verts, faces = grid_to_mesh(grid)
+        write_ply(debug_mesh_path, verts, faces=faces)
     return grid, w2g
 
 
