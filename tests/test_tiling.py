@@ -128,6 +128,36 @@ def test_prefetch_scene_stream_equivalence(scannet_cfg):
 
 
 @pytest.mark.slow
+def test_tiled_mesh_matches_single_device(scannet_cfg):
+    """Tile batches shard_mapped over a 4-device mesh must stitch to exactly
+    the single-device detections (scene + params replicated, same tile math,
+    including when the batch count does not divide the mesh size)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from tpu3dsis.infer.tiling import SceneInference
+    from tpu3dsis.models import Detector
+
+    cfg = scannet_cfg.copy()
+    cfg.TPU_TILE_SIZE = [48, 48, 48]
+    cfg.TPU_TILE_STRIDE = [36, 36, 36]
+    cfg.TEST.RPN_PRE_NMS_TOP_N = 64
+    cfg.TEST.RPN_POST_NMS_TOP_N = 8
+    cfg.CLASS_THRESH = 0.0
+    det = Detector(cfg, anchor_dir="experiments/anchors")
+    params = det.init_params(jax.random.PRNGKey(0))
+    scene = np.random.RandomState(3).randn(84, 48, 84, 2).astype(np.float32)
+
+    single = SceneInference(det, cfg, tile_batch=2).detect(params, scene)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("tiles",))
+    sharded = SceneInference(det, cfg, tile_batch=2, mesh=mesh).detect(
+        params, scene
+    )
+    for k in single:
+        np.testing.assert_array_equal(single[k], sharded[k])
+
+
+@pytest.mark.slow
 def test_predict_masks_oversize_box_exact(scannet_cfg):
     """A box larger than the tile canvas gets a halo-windowed mask equal to
     the exact full-scene-crop computation (round-1 truncated it)."""

@@ -70,6 +70,13 @@ def main():
     scene_file = os.path.join(args.out, "demo__scene.scene")
     ss.process_scene(scsdf, aabbs, scene_file)
     print(f"[demo] wrote {scene_file}")
+    # debug isosurface of the fused TSDF (reference s_bDebugOut equivalent)
+    from tpu3dsis.datagen.marching_tets import grid_to_mesh
+    from tpu3dsis.tools.ply import write_ply
+
+    mverts, mfaces = grid_to_mesh(grid)
+    write_ply(os.path.join(args.out, "demo_fused.ply"), mverts, faces=mfaces)
+    print(f"[demo] fused-TSDF mesh: {os.path.join(args.out, 'demo_fused.ply')}")
 
     # --- 2. inference + artifact export ------------------------------------
     cfg = cfg_from_file("experiments/cfgs/ScanNet/benchmark.yml")

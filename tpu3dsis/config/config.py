@@ -212,6 +212,9 @@ def default_config() -> Config:
     # whole-scene inference mode: 'tiled' (production) or 'single_shot'
     # (reference-style one pass, for parity experiments)
     c.TPU_SCENE_MODE = "tiled"
+    # devices to spread tile batches over at scene inference (shard_map,
+    # scene replicated); 0/1 = single device
+    c.TPU_SCENE_TILE_PARALLEL = 0
 
     return c
 

@@ -55,7 +55,16 @@ def run_scenes(
         dataset = SceneDataset(
             cfg.TEST_FILELIST, "benchmark" if mode == "benchmark" else "scene", cfg
         )
-    si = SceneInference(detector, cfg)
+    mesh = None
+    n_tp = int(dict.get(cfg, "TPU_SCENE_TILE_PARALLEL", 0))
+    if n_tp > 1:
+        import jax
+        from jax.sharding import Mesh
+
+        n_tp = min(n_tp, len(jax.devices()))
+        if n_tp > 1:
+            mesh = Mesh(np.array(jax.devices()[:n_tp]), ("tiles",))
+    si = SceneInference(detector, cfg, mesh=mesh)
     if str(dict.get(cfg, "TPU_SCENE_MODE", "tiled")) == "single_shot":
         # reference-style one-pass whole-scene inference (parity experiments);
         # masks still run through the tiled crop canvas
