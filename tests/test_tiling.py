@@ -148,13 +148,22 @@ def test_tiled_mesh_matches_single_device(scannet_cfg):
     params = det.init_params(jax.random.PRNGKey(0))
     scene = np.random.RandomState(3).randn(84, 48, 84, 2).astype(np.float32)
 
-    single = SceneInference(det, cfg, tile_batch=2).detect(params, scene)
+    si1 = SceneInference(det, cfg, tile_batch=2)
+    single = si1.detect(params, scene)
     mesh = Mesh(np.array(jax.devices()[:4]), ("tiles",))
-    sharded = SceneInference(det, cfg, tile_batch=2, mesh=mesh).detect(
-        params, scene
-    )
+    si4 = SceneInference(det, cfg, tile_batch=2, mesh=mesh)
+    sharded = si4.detect(params, scene)
     for k in single:
         np.testing.assert_array_equal(single[k], sharded[k])
+
+    # mask windows shard across the mesh too (3 boxes over 4 devices
+    # exercises the mesh-divisible padding); same masks bit for bit
+    few = {k: v[:3] for k, v in single.items()}
+    m1 = si1.predict_masks(params, scene, few)
+    m4 = si4.predict_masks(params, scene, few)
+    assert len(m1) == len(m4) == len(few["pred_box"])
+    for a, b in zip(m1, m4):
+        np.testing.assert_array_equal(a, b)
 
 
 @pytest.mark.slow

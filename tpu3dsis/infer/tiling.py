@@ -75,12 +75,13 @@ _STITCH_KEYS = ("valid", "degenerate", "pred_conf", "cls_pred", "pred_box")
 class SceneInference:
     """Compile-once whole-scene detector (+ optional masks).
 
-    mesh: optional single-axis ``jax.sharding.Mesh`` — tile batches are
-    shard_mapped across its devices (scene + params replicated), cutting
-    per-scene detection latency ~linearly in device count. Tile math is
-    identical per device, so stitching (and therefore detections) match the
-    single-device path exactly (``test_tiled_mesh_matches_single_device``).
-    The color and mask stages currently run on the default device.
+    mesh: optional single-axis ``jax.sharding.Mesh`` — tile batches AND mask
+    windows are shard_mapped across its devices (scene + params replicated),
+    cutting per-scene latency ~linearly in device count. Per-item math is
+    unchanged, so detections and masks match the single-device path exactly
+    (``test_tiled_mesh_matches_single_device``). The color detection path
+    currently runs on the default device (its replicated 2D-feature operand
+    ordering does not fit the generic item sharding; see ``_color_fns``).
     """
 
     def __init__(self, detector: Detector, cfg, tile_batch: int = 8,
@@ -158,11 +159,17 @@ class SceneInference:
         self._mask_fn = None
         self._mask_color_fn = None
         if detector.mask_backbone is not None:
-            self._mask_fn = jax.jit(self._build_mask_fn())
+            mf = self._build_mask_fn()
+            if mesh is not None:
+                mf = self._shard_over_items(mf, n_item_args=3)
+            self._mask_fn = jax.jit(mf)
             if detector.color_projector is not None and bool(
                 cfg.MASK_USE_IMAGES
             ):
-                self._mask_color_fn = jax.jit(self._build_mask_color_fn())
+                mcf = self._build_mask_color_fn()
+                if mesh is not None:
+                    mcf = self._shard_over_items(mcf, n_item_args=6)
+                self._mask_color_fn = jax.jit(mcf)
         # color path: per-tile view selection + shared 2D features
         self.max_tile_views = int(dict.get(cfg, "TPU_MAX_TILE_VIEWS", 16))
         self._color_fns = None
@@ -193,6 +200,32 @@ class SceneInference:
                 return jax.vmap(one)(origins, w2gs, sel_idx, sel_valid)
 
             self._color_fns = (jax.jit(feats_fn), jax.jit(tiled_color))
+
+    def _shard_over_items(self, fn, n_item_args: int):
+        """Shard a ``(params, scene_dev, *items[, *replicated])`` batch fn's
+        leading item axis across the mesh.
+
+        Every item (mask window / tile) is computed independently, so each
+        device runs the unchanged per-item body on its slice of the batch —
+        results are bit-identical to single-device. Callers pad the item
+        count to a multiple of the mesh size.
+        """
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        mesh = self.mesh
+        axis = mesh.axis_names[0]
+
+        def wrapped(params, scene_dev, *args):
+            n_rep = len(args) - n_item_args
+            in_specs = (
+                (P(), P()) + (P(axis),) * n_item_args + (P(),) * n_rep
+            )
+            return shard_map(
+                fn, mesh=mesh, in_specs=in_specs, out_specs=P(axis)
+            )(params, scene_dev, *args)
+
+        return wrapped
 
     # --- mask on fixed crop canvas ---------------------------------------
     def _build_mask_fn(self):
@@ -654,12 +687,16 @@ class SceneInference:
         box_r0 = np.round(det_out["pred_box"][:, :3]).astype(int)
         # device batches of `batch` windows, pow2-bucketed tail (measured
         # faster than one mega-dispatch: the uint8 download overlaps the
-        # next batch's compute across dispatches)
+        # next batch's compute across dispatches). On a mesh, each batch is
+        # `batch` windows PER DEVICE, padded to a mesh-divisible count.
+        n_dev = 1 if self.mesh is None else self.mesh.devices.size
+        batch = batch * n_dev
         n_items = len(box_idx)
         i = 0
         while i < n_items:
             m = min(batch, n_items - i)
-            m_pad = 1 << (m - 1).bit_length()
+            per = -(-m // n_dev)
+            m_pad = n_dev * (1 << (per - 1).bit_length())
 
             def padb(a):
                 out = a[i : i + m]
