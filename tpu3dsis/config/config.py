@@ -215,6 +215,12 @@ def default_config() -> Config:
     # devices to spread tile batches over at scene inference (shard_map,
     # scene replicated); 0/1 = single device
     c.TPU_SCENE_TILE_PARALLEL = 0
+    # compact host->device transfers: binary mask canvas as uint8 (exact),
+    # raw uint8 color images normalized on device (exact: same fp32 ops),
+    # TSDF data in bfloat16 when TPU_COMPUTE_DTYPE is bfloat16 (identical to
+    # the on-device cast the first conv performs anyway). Training steps are
+    # transfer-bound on tunnel-attached chips (BENCH_NOTES.md).
+    c.TPU_COMPACT_TRANSFERS = True
 
     return c
 

@@ -424,7 +424,7 @@ class SceneInference:
             if blk.shape[0] < 32:
                 blk = np.concatenate(
                     [blk, np.zeros((32 - blk.shape[0], *images.shape[1:]),
-                                   np.float32)]
+                                   images.dtype)]  # uint8 under compact
                 )
             feats.append(feats_fn(params, jnp.asarray(blk)))
         feats2d = jnp.concatenate(feats, axis=0)

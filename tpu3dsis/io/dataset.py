@@ -319,7 +319,8 @@ def pad_sample(sample: Sample, cfg: Config, with_mask_canvas: bool = True):
     if cfg.USE_IMAGES and sample.images is not None:
         v = int(cfg.NUM_IMAGES)
         nv = min(sample.images.shape[0], v)
-        images = np.zeros((v, *sample.images.shape[1:]), np.float32)
+        # preserve the source dtype: uint8 under TPU_COMPACT_TRANSFERS
+        images = np.zeros((v, *sample.images.shape[1:]), sample.images.dtype)
         depths = np.zeros((v, *sample.depths.shape[1:]), np.float32)
         poses = np.tile(np.eye(4, dtype=np.float32), (v, 1, 1))
         view_valid = np.zeros((v,), bool)

@@ -47,10 +47,18 @@ def load_depth(path: str, depth_shape) -> np.ndarray:
     return depth.astype(np.float32) / 1000.0
 
 
-def load_color(path: str, image_shape, color_mean, color_std) -> np.ndarray:
-    """(H, W, 3) normalized float32 (dataset.py:255-261)."""
+def load_color(path: str, image_shape, color_mean, color_std,
+               normalize=True) -> np.ndarray:
+    """(H, W, 3) normalized float32 (dataset.py:255-261).
+
+    normalize=False returns the resized image as raw uint8 (4x fewer
+    host->device bytes); ``ColorProjector.image_features`` applies the
+    identical /255, -mean, /std fp32 ops on device.
+    """
     img = np.array(Image.open(path))
     img = resize_crop_image(img, image_shape)
+    if not normalize:
+        return img.astype(np.uint8)
     img = img.astype(np.float32) / 255.0
     return (img - np.asarray(color_mean, np.float32)) / np.asarray(
         color_std, np.float32
@@ -110,6 +118,9 @@ class FrameSource:
             image = load_label_image(img_path, cfg.IMAGE_SHAPE, mapping, weights)
         else:
             image = load_color(
-                img_path, cfg.IMAGE_SHAPE, cfg.COLOR_MEAN, cfg.COLOR_STD
+                img_path, cfg.IMAGE_SHAPE, cfg.COLOR_MEAN, cfg.COLOR_STD,
+                normalize=not bool(
+                    dict.get(cfg, "TPU_COMPACT_TRANSFERS", False)
+                ),
             )
         return image, depth, pose

@@ -53,13 +53,34 @@ class PrefetchLoader:
 
                 fast = load_fast_padded(self.dataset, path, self.cfg)
                 if fast is not None:
-                    return fast
+                    return self._compact(fast)
             sample = self.dataset[idx]
         except Exception:  # corrupt file: skip (reference crashes)
             return None
         if self.drop_empty and sample.gt_box.shape[0] == 0:
             return None
-        return pad_sample(sample, self.cfg, self.with_mask_canvas)
+        return self._compact(
+            pad_sample(sample, self.cfg, self.with_mask_canvas)
+        )
+
+    def _compact(self, padded):
+        """TPU_COMPACT_TRANSFERS: shrink the per-step host->device bytes.
+
+        The train step is transfer-bound on tunnel-attached chips
+        (BENCH_NOTES.md): binary canvas as uint8 (exact — the step casts the
+        sliced window back to f32), TSDF data at the compute dtype when that
+        is bfloat16 (identical to the cast the first conv performs anyway).
+        Raw-uint8 images are handled at load time (frames.load_color).
+        """
+        if not bool(dict.get(self.cfg, "TPU_COMPACT_TRANSFERS", False)):
+            return padded
+        if "mask_canvas" in padded:
+            padded["mask_canvas"] = padded["mask_canvas"].astype(np.uint8)
+        if str(self.cfg.TPU_COMPUTE_DTYPE) == "bfloat16":
+            import ml_dtypes
+
+            padded["data"] = padded["data"].astype(ml_dtypes.bfloat16)
+        return padded
 
     def __iter__(self):
         order = np.arange(len(self.dataset))

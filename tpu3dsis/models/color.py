@@ -28,6 +28,8 @@ class ColorProjector:
         self.depth_min = float(cfg.PROJ_DEPTH_MIN)
         self.depth_max = float(cfg.PROJ_DEPTH_MAX)
         self.voxel_size = float(cfg.VOXEL_SIZE)
+        self.color_mean = np.asarray(cfg.COLOR_MEAN, np.float32)
+        self.color_std = np.asarray(cfg.COLOR_STD, np.float32)
 
     def init_params(self, key):
         return {} if self.enet is None else self.enet.init_params(key)
@@ -36,9 +38,18 @@ class ColorProjector:
         return [] if self.enet is None else self.enet.param_names()
 
     def image_features(self, params, images):
-        """(V, H, W, C_in) -> (V, Hd, Wd, C_feat)."""
+        """(V, H, W, C_in) -> (V, Hd, Wd, C_feat).
+
+        uint8 color input (TPU_COMPACT_TRANSFERS: 4x fewer tunnel bytes) is
+        normalized ON DEVICE with the same /255, -mean, /std fp32 ops as
+        ``frames.load_color`` — identical values, just computed post-upload.
+        """
         if self.enet is None:
             return images  # gt label images already at DEPTH_SHAPE resolution
+        if images.dtype == jnp.uint8:
+            images = (
+                images.astype(jnp.float32) / 255.0 - self.color_mean
+            ) / self.color_std
         return self.enet.features_for_3d(params, images)
 
     def project(

@@ -295,7 +295,7 @@ def build_loss_fn(detector: Detector, cfg, scene_shape):
                 lambda s: jax.lax.dynamic_slice(
                     sample["mask_canvas"], (s[0], s[1], s[2]), win
                 )
-            )(mw["starts"])
+            )(mw["starts"]).astype(jnp.float32)  # canvas may arrive uint8
             lm = L.mask_loss_windowed(
                 mw["logits"],
                 targets,
