@@ -153,6 +153,18 @@ def test_color_scene_inference(tmp_path, rng, scannet_cfg):
     assert out["pred_box"].shape[1] == 6
     assert np.isfinite(out["pred_box"]).all()
 
+    # mesh leg: color tiles shard across 4 devices. Same math per tile, but
+    # the per-device vmap width differs from single-device (1 vs 2), which
+    # shifts XLA fusion by an ulp — classes exact, coords to float precision
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("tiles",))
+    si4 = SceneInference(det, cfg, tile_batch=2, mesh=mesh)
+    out4 = si4.detect(params, scene, frames=frames)
+    np.testing.assert_array_equal(out["pred_class"], out4["pred_class"])
+    np.testing.assert_allclose(out["pred_box"], out4["pred_box"], atol=1e-4)
+    np.testing.assert_allclose(out["pred_conf"], out4["pred_conf"], atol=1e-5)
+
 
 def test_color_scene_mode_through_driver(tmp_path, rng, scannet_cfg):
     """Whole-scene color flow through run_scenes: the dataset reloads

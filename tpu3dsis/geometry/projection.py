@@ -126,6 +126,11 @@ def fuse_views(
     """
     c = feats2d.shape[-1]
     init = jnp.zeros((*tuple(volume_dims), c), feats2d.dtype)
+    # under shard_map the scan carry must carry the same varying-axes type
+    # as the body output; the body varies with world_to_grid (per tile), so
+    # fold a zero-valued dependency on it into the init (no-op outside
+    # shard_map, fixes "varying manual axes do not match" inside it)
+    init = init + 0 * world_to_grid.reshape(-1)[0].astype(init.dtype)
 
     def body(carry, view):
         feat, depth, pose, ok = view

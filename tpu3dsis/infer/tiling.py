@@ -75,13 +75,15 @@ _STITCH_KEYS = ("valid", "degenerate", "pred_conf", "cls_pred", "pred_box")
 class SceneInference:
     """Compile-once whole-scene detector (+ optional masks).
 
-    mesh: optional single-axis ``jax.sharding.Mesh`` — tile batches AND mask
-    windows are shard_mapped across its devices (scene + params replicated),
-    cutting per-scene latency ~linearly in device count. Per-item math is
-    unchanged, so detections and masks match the single-device path exactly
-    (``test_tiled_mesh_matches_single_device``). The color detection path
-    currently runs on the default device (its replicated 2D-feature operand
-    ordering does not fit the generic item sharding; see ``_color_fns``).
+    mesh: optional single-axis ``jax.sharding.Mesh`` — tile batches, color
+    tiles, and mask windows are shard_mapped across its devices (scene,
+    params, and 2D features replicated), cutting per-scene latency
+    ~linearly in device count. Per-item math is unchanged: geometry
+    detections and masks match the single-device path exactly
+    (``test_tiled_mesh_matches_single_device``); the color path matches to
+    float precision (its local vmap width differs, shifting XLA fusion by
+    an ulp — ``test_color_scene_inference`` mesh leg). The per-scene ENet
+    pass runs once on the default device.
     """
 
     def __init__(self, detector: Detector, cfg, tile_batch: int = 8,
@@ -101,6 +103,9 @@ class SceneInference:
                 cfg.TPU_TILE_SIZE,
             )
         )
+        if mesh is not None:  # color tiles shard over the batch axis
+            n_dev = int(mesh.devices.size)
+            tile_batch = n_dev * (-(-tile_batch // n_dev))
         self.tile_batch = tile_batch
         self._single = build_inference_fn(detector, cfg, self.tile, mode="TEST")
         single = self._single
@@ -179,9 +184,12 @@ class SceneInference:
                 return detector.color_projector.image_features(params, images)
 
             def tiled_color(
-                params, scene_dev, origins, w2gs, feats2d, depths, poses,
-                sel_idx, sel_valid,
+                params, scene_dev, origins, w2gs, sel_idx, sel_valid,
+                feats2d, depths, poses,
             ):
+                # arg order: per-tile items first, then the replicated
+                # whole-scene operands — _shard_over_items slices the
+                # leading group across the mesh
                 def one(origin, w2g, idx, ok):
                     scene = jax.lax.dynamic_slice(
                         scene_dev, (origin[0], origin[1], origin[2], 0),
@@ -199,6 +207,10 @@ class SceneInference:
 
                 return jax.vmap(one)(origins, w2gs, sel_idx, sel_valid)
 
+            if mesh is not None:
+                tiled_color = self._shard_over_items(
+                    tiled_color, n_item_args=4
+                )
             self._color_fns = (jax.jit(feats_fn), jax.jit(tiled_color))
 
     def _shard_over_items(self, fn, n_item_args: int):
@@ -515,11 +527,11 @@ class SceneInference:
                     scene_dev,
                     jnp.asarray(padb(origins_np, i)),
                     jnp.asarray(padb(w2gs, i)),
+                    jnp.asarray(padb(sel_idx, i)),
+                    jnp.asarray(padb(sel_valid, i)),
                     feats2d,
                     depths_d,
                     poses_d,
-                    jnp.asarray(padb(sel_idx, i)),
-                    jnp.asarray(padb(sel_valid, i)),
                 )
                 batch_outs.append(jax.device_get(out))  # one bulk transfer
             out_np = {
