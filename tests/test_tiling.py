@@ -219,6 +219,99 @@ def test_predict_masks_oversize_box_exact(scannet_cfg):
     assert mismatch < 0.005, f"mask mismatch fraction {mismatch}"
 
 
+@pytest.mark.slow
+def test_predict_masks_small_canvas_bucketing(scannet_cfg):
+    """Boxes that fit the small canvas route through the small-canvas FCN
+    program; the region-masked FCN is canvas-size independent on region
+    voxels, so bucketed masks must equal the large-canvas-only path."""
+    import jax
+
+    from tpu3dsis.infer.tiling import SceneInference
+    from tpu3dsis.models import Detector
+
+    cfg = scannet_cfg.copy()
+    cfg.TPU_TILE_SIZE = [48, 48, 48]
+    cfg.TPU_TILE_STRIDE = [36, 36, 36]
+    det = Detector(cfg, anchor_dir="experiments/anchors")
+    params = det.init_params(jax.random.PRNGKey(0))
+
+    scene = np.random.RandomState(2).randn(96, 48, 48, 2).astype(np.float32)
+    det_out = {
+        "pred_box": np.array(
+            [
+                [5, 5, 5, 20, 18, 21],     # small: fits 32^3
+                [30, 2, 2, 75, 40, 40],    # large: 45 voxels in x
+                [60, 30, 30, 70, 40, 44],  # small again (order mixing)
+            ],
+            np.float32,
+        ),
+        "pred_class": np.array([3, 5, 7], np.int32),
+        "pred_conf": np.array([0.9, 0.8, 0.7], np.float32),
+    }
+
+    si_b = SceneInference(det, cfg, tile_batch=2)
+    assert si_b.mask_canvas_small is not None
+    bucketed = si_b.predict_masks(params, scene, det_out)
+
+    cfg2 = cfg.copy()
+    cfg2.TPU_MASK_INFER_CANVAS_SMALL = list(si_b.mask_canvas)  # disable
+    si_l = SceneInference(det, cfg2, tile_batch=2)
+    assert si_l.mask_canvas_small is None
+    plain = si_l.predict_masks(params, scene, det_out)
+
+    assert len(bucketed) == len(plain) == 3
+    for a, b in zip(bucketed, plain):
+        assert a.shape == b.shape
+        # identical math up to f32 reassociation; allow flips only at the
+        # sigmoid threshold boundary
+        assert (a != b).mean() < 0.005
+
+
+@pytest.mark.slow
+def test_fused_matches_multidispatch(scannet_cfg):
+    """The one-dispatch fused scene program (device stitch NMS + in-graph
+    window planning + mask FCN) must reproduce detect() + predict_masks()
+    exactly: same greedy NMS algorithm, same window plans, same crop math."""
+    import jax
+
+    from tpu3dsis.infer.tiling import SceneInference
+    from tpu3dsis.models import Detector
+
+    cfg = scannet_cfg.copy()
+    cfg.TPU_TILE_SIZE = [48, 48, 48]
+    cfg.TPU_TILE_STRIDE = [36, 36, 36]
+    cfg.TEST.RPN_PRE_NMS_TOP_N = 64
+    cfg.TEST.RPN_POST_NMS_TOP_N = 8
+    cfg.CLASS_THRESH = 0.0  # untrained net: accept everything valid
+    det = Detector(cfg, anchor_dir="experiments/anchors")
+    params = det.init_params(jax.random.PRNGKey(0))
+    scene = np.random.RandomState(5).randn(60, 48, 60, 2).astype(np.float32)
+
+    si = SceneInference(det, cfg, tile_batch=2)
+    want_det = si.detect(params, scene)
+    want_masks = si.predict_masks(params, scene, want_det)
+
+    si2 = SceneInference(det, cfg, tile_batch=2)
+    got_det, got_masks = si2.infer(params, scene)
+    assert si2._last_fused, "fused path fell back unexpectedly"
+
+    assert len(got_det["pred_box"]) == len(want_det["pred_box"])
+    np.testing.assert_allclose(
+        got_det["pred_box"], want_det["pred_box"], atol=1e-5
+    )
+    np.testing.assert_array_equal(got_det["pred_class"], want_det["pred_class"])
+    np.testing.assert_allclose(
+        got_det["pred_conf"], want_det["pred_conf"], rtol=1e-6
+    )
+    assert len(got_masks) == len(want_masks)
+    for a, b in zip(got_masks, want_masks):
+        assert a.shape == b.shape
+        if a.size == 0:  # degenerate clipped box: empty mask on both paths
+            continue
+        # identical crop math; flips only at the sigmoid threshold boundary
+        assert (a != b).mean() < 0.005
+
+
 def test_tile_coverage_longest_anchor():
     """Default tile/stride must fully contain every object up to the longest
     ScanNet anchor extent (53 voxels, scannet14_11.txt) on every axis, for

@@ -202,6 +202,21 @@ def default_config() -> Config:
     c.TPU_TILE_STRIDE = [43, 9, 43]
     # cross-tile dedup NMS threshold (stitching)
     c.TPU_STITCH_NMS_THRESH = 0.25
+    # whole-scene inference mask-FCN crop canvas (halo windows keep masks
+    # exact for boxes of any size, ops/mask_windows.py) and the small-box
+    # fast-path canvas: boxes fitting it run the FCN on ~6x fewer voxels
+    # (exact — the region re-mask makes the FCN canvas-size independent).
+    # Set the small canvas equal to the canvas to disable bucketing.
+    c.TPU_MASK_INFER_CANVAS = [64, 48, 64]
+    c.TPU_MASK_INFER_CANVAS_SMALL = [32, 32, 32]
+    # fused one-dispatch scene inference (infer/tiling.py::infer): device
+    # queue capacities. PRE_NMS bounds boxes entering the stitch NMS,
+    # MAX_DETECTIONS the kept boxes, LARGE_WINDOWS the halo-window queue for
+    # boxes bigger than the small canvas. Overflow is counted on device and
+    # reconciled through the exact host-planned path (never silent).
+    c.TPU_FUSED_PRE_NMS = 1024
+    c.TPU_FUSED_MAX_DETECTIONS = 64
+    c.TPU_FUSED_LARGE_WINDOWS = 12
     # mask-training roi capacity per sample
     c.TPU_MAX_MASK_ROIS = 16
     # spare work-queue slots for halo-windows of rois larger than the mask

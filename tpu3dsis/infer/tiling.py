@@ -103,6 +103,21 @@ class SceneInference:
                 cfg.TPU_TILE_SIZE,
             )
         )
+        # second, smaller canvas for boxes that fit it: the region-masked
+        # FCN is canvas-size independent on region voxels (every conv is
+        # followed by the region re-mask — backbones.py::MaskBackboneArch),
+        # so routing small boxes through a ~6x-smaller window is exact and
+        # cuts most of the mask-phase FLOPs (typical ScanNet detections are
+        # chairs/objects well under 32 voxels per axis)
+        self.mask_canvas_small = tuple(
+            min(int(c), int(t))
+            for c, t in zip(
+                dict.get(cfg, "TPU_MASK_INFER_CANVAS_SMALL", [32, 32, 32]),
+                self.mask_canvas,
+            )
+        )
+        if self.mask_canvas_small == self.mask_canvas:
+            self.mask_canvas_small = None
         if mesh is not None:  # color tiles shard over the batch axis
             n_dev = int(mesh.devices.size)
             tile_batch = n_dev * (-(-tile_batch // n_dev))
@@ -163,18 +178,30 @@ class SceneInference:
             self._tiled_fn = jax.jit(tiled)
         self._mask_fn = None
         self._mask_color_fn = None
+        self._mask_fn_small = None
+        self._mask_color_fn_small = None
         if detector.mask_backbone is not None:
-            mf = self._build_mask_fn()
+            mf = self._build_mask_fn(self.mask_canvas)
             if mesh is not None:
                 mf = self._shard_over_items(mf, n_item_args=3)
             self._mask_fn = jax.jit(mf)
+            if self.mask_canvas_small is not None:
+                mfs = self._build_mask_fn(self.mask_canvas_small)
+                if mesh is not None:
+                    mfs = self._shard_over_items(mfs, n_item_args=3)
+                self._mask_fn_small = jax.jit(mfs)
             if detector.color_projector is not None and bool(
                 cfg.MASK_USE_IMAGES
             ):
-                mcf = self._build_mask_color_fn()
+                mcf = self._build_mask_color_fn(self.mask_canvas)
                 if mesh is not None:
                     mcf = self._shard_over_items(mcf, n_item_args=6)
                 self._mask_color_fn = jax.jit(mcf)
+                if self.mask_canvas_small is not None:
+                    mcfs = self._build_mask_color_fn(self.mask_canvas_small)
+                    if mesh is not None:
+                        mcfs = self._shard_over_items(mcfs, n_item_args=6)
+                    self._mask_color_fn_small = jax.jit(mcfs)
         # color path: per-tile view selection + shared 2D features
         self.max_tile_views = int(dict.get(cfg, "TPU_MAX_TILE_VIEWS", 16))
         self._color_fns = None
@@ -240,9 +267,9 @@ class SceneInference:
         return wrapped
 
     # --- mask on fixed crop canvas ---------------------------------------
-    def _build_mask_fn(self):
+    def _build_mask_fn(self, canvas):
         det = self.det
-        tx, ty, tz = self.mask_canvas
+        tx, ty, tz = canvas
         thresh = float(self.cfg.MASK_THRESH)
 
         def mask_batch(params, scene_dev, starts, locals_, labels):
@@ -281,7 +308,7 @@ class SceneInference:
 
         return mask_batch
 
-    def _build_mask_color_fn(self):
+    def _build_mask_color_fn(self, canvas):
         """MASK_USE_IMAGES: mask FCN with the color/combine branches fed by
         per-window color projection.
 
@@ -293,7 +320,7 @@ class SceneInference:
         window grid yields the identical crop on-chip.
         """
         det = self.det
-        tx, ty, tz = self.mask_canvas
+        tx, ty, tz = canvas
         thresh = float(self.cfg.MASK_THRESH)
         proj = det.color_projector
 
@@ -641,7 +668,6 @@ class SceneInference:
             )
         from tpu3dsis.ops.mask_windows import plan_windows_np
 
-        tx, ty, tz = self.mask_canvas
         params = self._device_params(params)
         data, scene_dev = self._device_scene(scene_data)
         scene_shape = data.shape[:3]
@@ -649,27 +675,36 @@ class SceneInference:
         n = len(det_out["pred_box"])
         if n == 0:
             return []
-        # one work item per halo window: boxes that fit a tile-sized canvas
-        # get exactly one (round-1 behavior); larger boxes get several, each
-        # exact on its owned segment (ops/mask_windows.py)
-        box_idx, starts, locals6, owns, labels = [], [], [], [], []
+        # one work item per halo window: boxes that fit a canvas get exactly
+        # one (round-1 behavior); larger boxes get several, each exact on its
+        # owned segment (ops/mask_windows.py). Boxes that fit the SMALL
+        # canvas route to the small-canvas FCN program — exact (see
+        # mask_canvas_small in __init__) with ~6x fewer voxels per window.
+        small = self.mask_canvas_small
+        queues = {"large": (self.mask_canvas, [], batch)}
+        if small is not None and self._mask_fn_small is not None:
+            # small windows are ~6x cheaper: 4x larger device batches keep
+            # dispatch overhead amortized without growing transient memory
+            queues["small"] = (small, [], batch * 4)
         full_sizes = []
         for i, (box, cls) in enumerate(
             zip(det_out["pred_box"], det_out["pred_class"])
         ):
             r = np.round(box).astype(int)
-            full_sizes.append(tuple(r[3:] - r[:3]))
-            for start, local, own in plan_windows_np(
-                box, scene_shape, (tx, ty, tz)
-            ):
-                box_idx.append(i)
-                starts.append(start)
-                locals6.append(local)
-                owns.append(own)
-                labels.append(int(cls))
-        starts = np.stack(starts).astype(np.int32)
-        locals6 = np.stack(locals6).astype(np.int32)
-        labels = np.asarray(labels, np.int32)
+            dims = r[3:] - r[:3]
+            full_sizes.append(tuple(dims))
+            which = (
+                "small"
+                if "small" in queues and np.all(dims <= np.asarray(small))
+                else "large"
+            )
+            canvas, items, _ = queues[which]
+            for start, local, own in plan_windows_np(box, scene_shape, canvas):
+                items.append((i, start, local, own, int(cls)))
+
+        masks = [np.zeros(fs, np.uint8) for fs in full_sizes]
+        box_r0 = np.round(det_out["pred_box"][:, :3]).astype(int)
+        n_dev = 1 if self.mesh is None else self.mesh.devices.size
 
         if use_color:
             from tpu3dsis.models.color import (
@@ -680,80 +715,408 @@ class SceneInference:
             feats2d, depths_d, poses_d, frusta = self._prepare_color(
                 params, frames
             )
-            w2gs = np.stack(
-                [
-                    shift_world_to_grid(frames["world_to_grid"], s)
+
+        for which, (canvas, items, qbatch) in queues.items():
+            if not items:
+                continue
+            cx, cy, cz = canvas
+            box_idx = [it[0] for it in items]
+            starts = np.stack([it[1] for it in items]).astype(np.int32)
+            locals6 = np.stack([it[2] for it in items]).astype(np.int32)
+            owns = [it[3] for it in items]
+            labels = np.asarray([it[4] for it in items], np.int32)
+            if use_color:
+                mask_fn = (
+                    self._mask_color_fn
+                    if which == "large"
+                    else self._mask_color_fn_small
+                )
+                w2gs = np.stack(
+                    [
+                        shift_world_to_grid(frames["world_to_grid"], s)
+                        for s in starts
+                    ]
+                )
+                sel = [
+                    select_views_for_tile(
+                        frusta, s, canvas, self.max_tile_views
+                    )
                     for s in starts
                 ]
-            )
-            sel = [
-                select_views_for_tile(
-                    frusta, s, (tx, ty, tz), self.max_tile_views
-                )
-                for s in starts
-            ]
-            sel_idx = np.stack([s[0] for s in sel])
-            sel_valid = np.stack([s[1] for s in sel])
-
-        masks = [np.zeros(fs, np.uint8) for fs in full_sizes]
-        box_r0 = np.round(det_out["pred_box"][:, :3]).astype(int)
-        # device batches of `batch` windows, pow2-bucketed tail (measured
-        # faster than one mega-dispatch: the uint8 download overlaps the
-        # next batch's compute across dispatches). On a mesh, each batch is
-        # `batch` windows PER DEVICE, padded to a mesh-divisible count.
-        n_dev = 1 if self.mesh is None else self.mesh.devices.size
-        batch = batch * n_dev
-        n_items = len(box_idx)
-        i = 0
-        while i < n_items:
-            m = min(batch, n_items - i)
-            per = -(-m // n_dev)
-            m_pad = n_dev * (1 << (per - 1).bit_length())
-
-            def padb(a):
-                out = a[i : i + m]
-                if out.shape[0] < m_pad:
-                    out = np.concatenate(
-                        [out, np.zeros((m_pad - out.shape[0], *out.shape[1:]),
-                                       a.dtype)]
-                    )
-                return out
-
-            if use_color:
-                got = np.asarray(
-                    self._mask_color_fn(
-                        params, scene_dev, jnp.asarray(padb(starts)),
-                        jnp.asarray(padb(locals6)), jnp.asarray(padb(labels)),
-                        jnp.asarray(padb(w2gs)), jnp.asarray(padb(sel_idx)),
-                        jnp.asarray(padb(sel_valid)), feats2d, depths_d,
-                        poses_d,
-                    )
-                )[:m]
+                sel_idx = np.stack([s[0] for s in sel])
+                sel_valid = np.stack([s[1] for s in sel])
             else:
-                got = np.asarray(
-                    self._mask_fn(
-                        params, scene_dev, jnp.asarray(padb(starts)),
-                        jnp.asarray(padb(locals6)), jnp.asarray(padb(labels)),
-                    )
-                )[:m]
-            # bit-packed windows -> (m, tx, ty, tz)
-            got = np.unpackbits(got, axis=1, count=tx * ty * tz).reshape(
-                m, tx, ty, tz
-            )
-            for j in range(m):
-                b = box_idx[i + j]
-                own = owns[i + j]
-                st = starts[i + j]
-                crop = got[j][
-                    own[0] - st[0] : own[3] - st[0],
-                    own[1] - st[1] : own[4] - st[1],
-                    own[2] - st[2] : own[5] - st[2],
-                ]
-                o = own[:3] - box_r0[b]
-                masks[b][
-                    o[0] : o[0] + crop.shape[0],
-                    o[1] : o[1] + crop.shape[1],
-                    o[2] : o[2] + crop.shape[2],
-                ] = crop
-            i += m
+                mask_fn = (
+                    self._mask_fn if which == "large" else self._mask_fn_small
+                )
+
+            # device batches of `qbatch` windows, pow2-bucketed tail
+            # (measured faster than one mega-dispatch: the uint8 download
+            # overlaps the next batch's compute across dispatches). On a
+            # mesh, each batch is `qbatch` windows PER DEVICE, padded to a
+            # mesh-divisible count.
+            qbatch = qbatch * n_dev
+            n_items = len(items)
+            i = 0
+            while i < n_items:
+                m = min(qbatch, n_items - i)
+                per = -(-m // n_dev)
+                m_pad = n_dev * (1 << (per - 1).bit_length())
+
+                def padb(a):
+                    out = a[i : i + m]
+                    if out.shape[0] < m_pad:
+                        out = np.concatenate(
+                            [out,
+                             np.zeros((m_pad - out.shape[0], *out.shape[1:]),
+                                      a.dtype)]
+                        )
+                    return out
+
+                if use_color:
+                    got = np.asarray(
+                        mask_fn(
+                            params, scene_dev, jnp.asarray(padb(starts)),
+                            jnp.asarray(padb(locals6)),
+                            jnp.asarray(padb(labels)),
+                            jnp.asarray(padb(w2gs)),
+                            jnp.asarray(padb(sel_idx)),
+                            jnp.asarray(padb(sel_valid)), feats2d, depths_d,
+                            poses_d,
+                        )
+                    )[:m]
+                else:
+                    got = np.asarray(
+                        mask_fn(
+                            params, scene_dev, jnp.asarray(padb(starts)),
+                            jnp.asarray(padb(locals6)),
+                            jnp.asarray(padb(labels)),
+                        )
+                    )[:m]
+                # bit-packed windows -> (m, cx, cy, cz)
+                got = np.unpackbits(got, axis=1, count=cx * cy * cz).reshape(
+                    m, cx, cy, cz
+                )
+                for j in range(m):
+                    b = box_idx[i + j]
+                    own = owns[i + j]
+                    st = starts[i + j]
+                    crop = got[j][
+                        own[0] - st[0] : own[3] - st[0],
+                        own[1] - st[1] : own[4] - st[1],
+                        own[2] - st[2] : own[5] - st[2],
+                    ]
+                    o = own[:3] - box_r0[b]
+                    masks[b][
+                        o[0] : o[0] + crop.shape[0],
+                        o[1] : o[1] + crop.shape[1],
+                        o[2] : o[2] + crop.shape[2],
+                    ] = crop
+                i += m
         return masks
+
+    # --- fused one-dispatch scene inference -------------------------------
+    def _build_fused_fn(self):
+        """Whole-scene instance segmentation as ONE XLA program.
+
+        tiles -> flatten -> device class-aware stitch NMS -> in-graph mask
+        window planning (small/large canvas queues) -> mask FCN -> bit-packed
+        masks. The multi-dispatch path (detect + predict_masks) pays one host
+        round trip per stage — ~50-100 ms each through the axon tunnel — and
+        a detect->masks host sync; fusing removes all of it. Per-item math is
+        identical: the device NMS is the same greedy algorithm as
+        ``_stitch_nms`` (``ops/nms.py::nms_mask``, class-aware via the
+        ``classes`` operand so IoU stays computed on raw boxes), windows are
+        the same plans as ``plan_windows_np`` (``ops/mask_windows.py`` — the
+        jnp planner used by training), and the FCN crop math matches
+        ``_build_mask_fn``. Fixed-capacity queues replace the host's dynamic
+        lists (the TPU-idiomatic trade): overflow is COUNTED and returned so
+        ``infer_fused`` can reconcile through the exact host-planned path.
+        """
+        det, cfg = self.det, self.cfg
+        single = self._single
+        tile = self.tile
+        bs = self.tile_batch
+        nms_thresh = float(dict.get(cfg, "TPU_STITCH_NMS_THRESH", 0.25))
+        class_thresh = float(cfg.CLASS_THRESH)
+        mask_thresh = float(cfg.MASK_THRESH)
+        pre_cap = int(dict.get(cfg, "TPU_FUSED_PRE_NMS", 1024))
+        k_det = int(dict.get(cfg, "TPU_FUSED_MAX_DETECTIONS", 64))
+        large_cap = int(dict.get(cfg, "TPU_FUSED_LARGE_WINDOWS", 12))
+        canvas_l = self.mask_canvas
+        canvas_s = self.mask_canvas_small or canvas_l
+        use_mask = det.mask_backbone is not None
+        dtype = self._dtype
+
+        from tpu3dsis.ops.mask_windows import plan_windows
+        from tpu3dsis.ops.nms import nms_mask
+
+        def run_queue(params, scene_dev, plan, labels_item, canvas, chunk):
+            cx, cy, cz = canvas
+            ix = jnp.arange(cx)[:, None, None]
+            iy = jnp.arange(cy)[None, :, None]
+            iz = jnp.arange(cz)[None, None, :]
+
+            def one(start, local, label):
+                crop = jax.lax.dynamic_slice(
+                    scene_dev, (start[0], start[1], start[2], 0),
+                    (cx, cy, cz, 2),
+                )
+                region = (
+                    (ix >= local[0]) & (ix < local[3])
+                    & (iy >= local[1]) & (iy < local[4])
+                    & (iz >= local[2]) & (iz < local[5])
+                ).astype(crop.dtype)
+                probs = det.mask_backbone.apply(
+                    params,
+                    (crop * region[..., None])[None],
+                    training=False,
+                    region_mask=region[None, ..., None],
+                    compute_dtype=dtype,
+                )
+                bits = (probs[0, :, :, :, label] >= mask_thresh).reshape(-1)
+                return jnp.packbits(bits)
+
+            c = plan["starts"].shape[0]
+            pad = -c % chunk
+
+            def padq(a):
+                a = jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+                return a.reshape(-1, chunk, *a.shape[1:])
+
+            packed = jax.lax.map(
+                lambda args: jax.vmap(one)(*args),
+                (padq(plan["starts"]), padq(plan["locals6"]),
+                 padq(labels_item)),
+            )
+            return packed.reshape(c + pad, -1)[:c]
+
+        def fused(params, scene_dev, origins, tile_valid, extent):
+            # origins (T, 3) padded to a tile_batch multiple; tile_valid (T,)
+            # marks real tiles; extent (3,) true scene size for final clip
+            def one_tile(origin):
+                t = jax.lax.dynamic_slice(
+                    scene_dev, (origin[0], origin[1], origin[2], 0),
+                    (*tile, 2),
+                )
+                out = single(params, t[None])
+                return {k: out[k] for k in _STITCH_KEYS}
+
+            outs = jax.lax.map(
+                lambda ob: jax.vmap(one_tile)(ob), origins.reshape(-1, bs, 3)
+            )
+            t_total = origins.shape[0]
+            flat = {
+                k: v.reshape(t_total * v.shape[2], *v.shape[3:])
+                for k, v in outs.items()
+            }
+            n_t = flat["pred_box"].shape[0] // t_total
+            org_rep = jnp.repeat(origins, n_t, axis=0).astype(jnp.float32)
+            boxes = flat["pred_box"] + jnp.concatenate(
+                [org_rep, org_rep], axis=1
+            )
+            conf = flat["pred_conf"]
+            cls = flat["cls_pred"].astype(jnp.int32)
+            dvalid = (
+                flat["valid"]
+                & ~flat["degenerate"]
+                & (conf > class_thresh)
+                & (cls > 0)
+                & jnp.repeat(tile_valid, n_t)
+            )
+
+            # top-P by confidence feed the stitch NMS (host path is unbounded;
+            # overflow is counted and triggers the host fallback)
+            p = min(pre_cap, boxes.shape[0])
+            conf_m = jnp.where(dvalid, conf, -jnp.inf)
+            top_conf, top_idx = jax.lax.top_k(conf_m, p)
+            boxes_p = boxes[top_idx]
+            cls_p = cls[top_idx]
+            valid_p = jnp.isfinite(top_conf)
+            pre_overflow = jnp.sum(dvalid) - jnp.sum(valid_p)
+
+            keep = nms_mask(boxes_p, nms_thresh, valid_p, classes=cls_p)
+            # fixed-size keep-index compaction (as ops/nms.py::nms_keep_indices,
+            # inlined so the keep mask is computed once and the K-cap overflow
+            # can be counted from it)
+            rank = jnp.cumsum(keep) - 1
+            slot = jnp.where(keep & (rank < k_det), rank, k_det)
+            keep_idx = jnp.zeros((k_det + 1,), jnp.int32).at[slot].set(
+                jnp.arange(p, dtype=jnp.int32), mode="drop"
+            )[:k_det]
+            num_kept = jnp.sum(keep)
+            kept_valid = jnp.arange(k_det) < num_kept
+            det_overflow = jnp.maximum(num_kept - k_det, 0)
+            ext = jnp.concatenate([extent, extent]).astype(jnp.float32)
+            kept_box = jnp.clip(boxes_p[keep_idx], 0.0, ext[None])
+            kept_cls = cls_p[keep_idx]
+            kept_conf = top_conf[keep_idx]
+
+            out = {
+                "pred_box": kept_box,
+                "pred_class": kept_cls,
+                "pred_conf": kept_conf,
+                "det_valid": kept_valid,
+                "pre_overflow": pre_overflow,
+                "det_overflow": det_overflow,
+            }
+            if use_mask:
+                pad_shape = scene_dev.shape[:3]
+                dims = jnp.round(kept_box[:, 3:6]) - jnp.round(kept_box[:, :3])
+                fits = jnp.all(
+                    dims <= jnp.asarray(canvas_s, jnp.float32)[None], axis=1
+                )
+                plan_s = plan_windows(
+                    kept_box, kept_valid & fits, pad_shape, canvas_s, k_det
+                )
+                plan_l = plan_windows(
+                    kept_box, kept_valid & ~fits, pad_shape, canvas_l,
+                    large_cap, allow_drop=True,
+                )
+                out["mask_small"] = {
+                    "starts": plan_s["starts"],
+                    "own6": plan_s["own6"],
+                    "roi_idx": plan_s["roi_idx"],
+                    "valid": plan_s["valid"],
+                    "dropped": plan_s["dropped"],
+                    "packed": run_queue(
+                        params, scene_dev, plan_s,
+                        kept_cls[plan_s["roi_idx"]], canvas_s, 8,
+                    ),
+                }
+                out["mask_large"] = {
+                    "starts": plan_l["starts"],
+                    "own6": plan_l["own6"],
+                    "roi_idx": plan_l["roi_idx"],
+                    "valid": plan_l["valid"],
+                    "dropped": plan_l["dropped"],
+                    "packed": run_queue(
+                        params, scene_dev, plan_l,
+                        kept_cls[plan_l["roi_idx"]], canvas_l, 4,
+                    ),
+                }
+            return out
+
+        return fused
+
+    def infer(self, params, scene_data: np.ndarray, frames=None):
+        """One-dispatch scene inference: (det_out, masks) per kept box.
+
+        Geometry-only configs run detect + stitch NMS + mask FCN as ONE
+        jitted program (one tunnel round trip); results are identical to
+        ``detect`` + ``predict_masks`` (pinned by
+        ``test_fused_matches_multidispatch``). Color configs and meshes fall
+        back to the multi-dispatch path (per-tile view selection is
+        host-planned), as do rare capacity overflows — counted on device,
+        reconciled through the exact host-planned path here.
+        """
+        self._last_fused = False  # diagnostic: did the fused program serve?
+        if (
+            frames is not None
+            or self._color_fns is not None
+            or self.mesh is not None
+            or self.det.mask_backbone is None
+            or not self.det.cfg_static["use_class"]
+        ):
+            out = self.detect(params, scene_data, frames=frames)
+            return out, self.predict_masks(
+                params, scene_data, out, frames=frames
+            )
+        from tpu3dsis.ops.mask_windows import plan_windows_np
+
+        if getattr(self, "_fused_fn", None) is None:
+            self._fused_fn = jax.jit(self._build_fused_fn())
+        params_d = self._device_params(params)
+        data, scene_dev = self._device_scene(scene_data)
+        tx, ty, tz = self.tile
+        xs = tile_origins(data.shape[0], tx, self.stride[0])
+        ys = tile_origins(data.shape[1], ty, self.stride[1])
+        zs = tile_origins(data.shape[2], tz, self.stride[2])
+        origins = np.asarray(
+            [(ox, oy, oz) for ox in xs for oy in ys for oz in zs], np.int32
+        )
+        n = len(origins)
+        pad = -n % self.tile_batch
+        if pad:
+            origins = np.concatenate(
+                [origins, np.zeros((pad, 3), np.int32)]
+            )
+        tile_valid = np.arange(n + pad) < n
+        extent = np.asarray(scene_data.shape[:3], np.int32)
+        out = jax.device_get(
+            self._fused_fn(
+                params_d, scene_dev, jnp.asarray(origins),
+                jnp.asarray(tile_valid), jnp.asarray(extent),
+            )
+        )
+        if int(out["pre_overflow"]) > 0 or int(out["det_overflow"]) > 0:
+            # more confident detections than the device queues hold: the
+            # host-planned path is unbounded — use it for this scene
+            det_out = self.detect(params, scene_data)
+            return det_out, self.predict_masks(params, scene_data, det_out)
+        self._last_fused = True
+
+        kv = out["det_valid"].astype(bool)
+        det_out = {
+            "pred_box": out["pred_box"][kv].astype(np.float32),
+            "pred_class": out["pred_class"][kv].astype(np.int32),
+            "pred_conf": out["pred_conf"][kv].astype(np.float32),
+        }
+        n_kept = int(kv.sum())
+        boxes_r = np.round(det_out["pred_box"]).astype(int)
+        masks = [
+            np.zeros(tuple(r[3:] - r[:3]), np.uint8) for r in boxes_r
+        ]
+        # kept-slot index -> compact mask index
+        slot_to_out = np.full(len(kv), -1, np.int64)
+        slot_to_out[kv] = np.arange(n_kept)
+        delivered = np.zeros(len(kv), np.int64)
+        for qname, canvas in (
+            ("mask_small", self.mask_canvas_small or self.mask_canvas),
+            ("mask_large", self.mask_canvas),
+        ):
+            q = out[qname]
+            cx, cy, cz = canvas
+            unpacked = np.unpackbits(
+                q["packed"], axis=1, count=cx * cy * cz
+            ).reshape(-1, cx, cy, cz)
+            for j in range(len(q["valid"])):
+                if not q["valid"][j]:
+                    continue
+                b = slot_to_out[int(q["roi_idx"][j])]
+                if b < 0:
+                    continue
+                delivered[int(q["roi_idx"][j])] += 1
+                own = q["own6"][j]
+                st = q["starts"][j]
+                crop = unpacked[j][
+                    own[0]:own[3], own[1]:own[4], own[2]:own[5]
+                ]
+                o = st[:3] + own[:3] - boxes_r[b][:3]
+                masks[b][
+                    o[0]:o[0] + crop.shape[0],
+                    o[1]:o[1] + crop.shape[1],
+                    o[2]:o[2] + crop.shape[2],
+                ] = crop
+        if int(out["mask_large"]["dropped"]) > 0:
+            # reconcile rois whose halo windows did not all fit the device
+            # queue: recompute those through the exact host-planned path.
+            # Only large-routed rois (dims > small canvas) can be shorted —
+            # the small queue's capacity equals the roi count.
+            small_dims = np.asarray(self.mask_canvas_small or self.mask_canvas)
+            short = []
+            for slot in np.nonzero(kv)[0]:
+                b = slot_to_out[slot]
+                if np.all(boxes_r[b][3:] - boxes_r[b][:3] <= small_dims):
+                    continue
+                want = len(plan_windows_np(
+                    det_out["pred_box"][b], data.shape[:3], self.mask_canvas
+                ))
+                if delivered[slot] < want:
+                    short.append(b)
+            if short:
+                sub = {k: v[short] for k, v in det_out.items()}
+                redo = self.predict_masks(params, scene_data, sub)
+                for b, mk in zip(short, redo):
+                    masks[b] = mk
+        return det_out, masks

@@ -43,7 +43,7 @@ def windows_per_axis(scene: int, canvas: int, halo: int = HALO) -> int:
 
 
 def plan_windows(rois, roi_valid, scene_shape, canvas, capacity,
-                 halo: int = HALO):
+                 halo: int = HALO, allow_drop: bool = False):
     """jnp planner: (M, 6) rois -> a capacity-C window work queue.
 
     Returns dict with, per work item:
@@ -56,12 +56,14 @@ def plan_windows(rois, roi_valid, scene_shape, canvas, capacity,
       dropped ()     number of real windows that did not fit the capacity
     Primary (k=0) windows are packed first, so with capacity >= M no roi is
     ever dropped entirely and rois that fit one window behave exactly as the
-    unwindowed path.
+    unwindowed path. With ``allow_drop`` the capacity may be below M — valid
+    primaries beyond it are dropped and counted (callers reconcile, e.g. the
+    fused scene path re-runs shorted rois through the host-planned path).
     """
     import jax.numpy as jnp
 
     m = rois.shape[0]
-    if capacity < m:
+    if capacity < m and not allow_drop:
         raise ValueError(f"capacity {capacity} < num rois {m}")
     scene_t = tuple(int(x) for x in scene_shape)
     canvas_t = tuple(int(x) for x in canvas)
@@ -114,7 +116,7 @@ def plan_windows(rois, roi_valid, scene_shape, canvas, capacity,
     box0 = jnp.tile(r0, (k_total, 1))
     box1 = jnp.tile(r1, (k_total, 1))
 
-    if k_total > 1:
+    if k_total > 1 or capacity < m:
         # compaction: valid primaries, then valid extras, then padding
         key = (~valid).astype(jnp.int32) * 2 + (~primary).astype(jnp.int32)
         order = jnp.argsort(key, stable=True)[:capacity]

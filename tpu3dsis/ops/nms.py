@@ -83,7 +83,7 @@ def _self_suppress_tile(sup_tri, init_suppressed):
     return ~l
 
 
-def nms_mask(boxes, thresh, valid=None, tile: int = 128):
+def nms_mask(boxes, thresh, valid=None, tile: int = 128, classes=None):
     """Greedy NMS keep mask — tiled exact algorithm.
 
     Identical output to the sequential scan (and the reference CUDA+host
@@ -98,6 +98,10 @@ def nms_mask(boxes, thresh, valid=None, tile: int = 128):
       valid: optional (N,) bool; invalid boxes are never kept and never
         suppress anything.
       tile: static tile size.
+      classes: optional (N,) int; when given, suppression only acts between
+        boxes of the same class (class-aware NMS, used by scene stitching —
+        IoU stays computed on the raw boxes so it is numerically identical
+        to per-class NMS, unlike the coordinate-offset trick).
     """
     n = boxes.shape[0]
     if n <= tile:
@@ -116,19 +120,29 @@ def nms_mask(boxes, thresh, valid=None, tile: int = 128):
             valid = jnp.arange(n + pad) < n
         else:
             valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)])
+        if classes is not None:
+            classes = jnp.concatenate(
+                [classes, jnp.full((pad,), -1, classes.dtype)]
+            )
     if valid is None:
         valid = jnp.ones((n,), bool)
 
     tiles = boxes.reshape(ntiles, b, 6)
     valid_t = valid.reshape(ntiles, b)
+    cls_t = classes.reshape(ntiles, b) if classes is not None else None
     keeps = []
     for ti in range(ntiles):
         cur = tiles[ti]
         cross = jnp.zeros((b,), bool)
         for tj in range(ti):
             ov = nms_overlap(tiles[tj], cur)  # (B, B)
-            cross = cross | jnp.any(keeps[tj][:, None] & (ov > thresh), axis=0)
+            sup = ov > thresh
+            if cls_t is not None:
+                sup = sup & (cls_t[tj][:, None] == cls_t[ti][None, :])
+            cross = cross | jnp.any(keeps[tj][:, None] & sup, axis=0)
         ov_self = nms_overlap(cur, cur) > thresh
+        if cls_t is not None:
+            ov_self = ov_self & (cls_t[ti][:, None] == cls_t[ti][None, :])
         idx = jnp.arange(b)
         tri = ov_self & (idx[:, None] < idx[None, :])
         tri = tri & valid_t[ti][:, None] & valid_t[ti][None, :]
@@ -139,13 +153,13 @@ def nms_mask(boxes, thresh, valid=None, tile: int = 128):
 
 
 @functools.partial(jax.jit, static_argnames=("post_nms_top_n",))
-def nms_keep_indices(boxes, thresh, post_nms_top_n, valid=None):
+def nms_keep_indices(boxes, thresh, post_nms_top_n, valid=None, classes=None):
     """Keep mask -> fixed-size index list of the first `post_nms_top_n` kept.
 
     Returns (indices (K,), kept_valid (K,) bool). Indices of unfilled slots
     point at the last box (callers must apply kept_valid).
     """
-    keep = nms_mask(boxes, thresh, valid)
+    keep = nms_mask(boxes, thresh, valid, classes=classes)
     n = boxes.shape[0]
     # stable order of kept indices: position among kept = cumsum-1
     rank = jnp.cumsum(keep) - 1
