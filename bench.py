@@ -115,11 +115,11 @@ def bench_masked_scene(jax):
         for i in range(k)
     ]
 
-    # warmup: one full pass compiles detect + every mask batch bucket
+    # warmup: one full pass compiles the fused one-dispatch program
+    # (tiles + stitch NMS + mask windows in ONE XLA dispatch per scene)
     n_det = 0
     for s in scenes:
-        out = si.detect(params, s)
-        masks = si.predict_masks(params, s, out)
+        out, masks = si.infer(params, s)
         n_det += len(out["pred_box"])
 
     # timed: a STREAM of distinct scenes; scene i+1's host->device upload
@@ -135,8 +135,7 @@ def bench_masked_scene(jax):
         for j, s in enumerate(stream):
             if j + 1 < len(stream):
                 si.prefetch_scene(stream[j + 1])
-            out = si.detect(params, s)
-            masks = si.predict_masks(params, s, out)
+            out, masks = si.infer(params, s)
             assert len(masks) == len(out["pred_box"])
         return (time.perf_counter() - t0) / len(stream)
 

@@ -65,7 +65,8 @@ def run_scenes(
         if n_tp > 1:
             mesh = Mesh(np.array(jax.devices()[:n_tp]), ("tiles",))
     si = SceneInference(detector, cfg, mesh=mesh)
-    if str(dict.get(cfg, "TPU_SCENE_MODE", "tiled")) == "single_shot":
+    single_shot = str(dict.get(cfg, "TPU_SCENE_MODE", "tiled")) == "single_shot"
+    if single_shot:
         # reference-style one-pass whole-scene inference (parity experiments);
         # masks still run through the tiled crop canvas
         from tpu3dsis.infer.single_shot import SingleShotInference
@@ -127,12 +128,18 @@ def run_scenes(
                 "poses": sample.poses,
                 "world_to_grid": sample.world_to_grid,
             }
-        det_out = si.detect(params, sample.data, frames=frames)
-        masks = (
-            si.predict_masks(params, sample.data, det_out, frames=frames)
-            if with_masks
-            else []
-        )
+        if with_masks and not single_shot:
+            # fused one-dispatch path where eligible (geometry-only,
+            # no mesh); otherwise infer() itself falls back to
+            # detect + predict_masks with identical results
+            det_out, masks = si.infer(params, sample.data, frames=frames)
+        else:
+            det_out = si.detect(params, sample.data, frames=frames)
+            masks = (
+                si.predict_masks(params, sample.data, det_out, frames=frames)
+                if with_masks
+                else []
+            )
 
         os.makedirs(out_dir, exist_ok=True)
         np.save(os.path.join(out_dir, "pred_class.npy"), det_out["pred_class"])
