@@ -112,3 +112,43 @@ def test_compact_batch_metrics_exact(tmp_path, rng, scannet_cfg):
             state, metrics = step(state, b, key)
             outs.append({k: float(v) for k, v in metrics.items()})
         assert outs[0] == outs[1], (dtype, outs)
+
+
+def test_scene_upload_packed_occupancy_exact(scannet_cfg):
+    """Scene upload ships the binary occupancy channel as packed bits and
+    rebuilds the volume on device — must equal the direct upload exactly;
+    non-binary channel-1 data (not encoded TSDF) must fall back unchanged."""
+    import jax.numpy as jnp
+
+    from tpu3dsis.infer.tiling import SceneInference, pad_volume
+    from tpu3dsis.models import Detector
+
+    cfg = scannet_cfg.copy()
+    cfg.TPU_TILE_SIZE = [48, 48, 48]
+    cfg.TPU_TILE_STRIDE = [36, 36, 36]
+    det = Detector(cfg, anchor_dir="experiments/anchors")
+    si = SceneInference.__new__(SceneInference)
+    si.cfg = cfg
+    si.tile = tuple(cfg.TPU_TILE_SIZE)
+    si._dtype = jnp.bfloat16
+
+    rng = np.random.RandomState(0)
+    # encoded-TSDF-shaped scene: ch0 continuous, ch1 binary
+    scene = np.stack(
+        [
+            np.abs(rng.randn(50, 40, 60)).astype(np.float32),
+            (rng.rand(50, 40, 60) > 0.5).astype(np.float32),
+        ],
+        axis=-1,
+    )
+    data, dev = si._upload_scene(scene)
+    assert getattr(si, "_rebuild_fn", None) is not None  # compact path ran
+    want = jnp.asarray(data, dtype=jnp.bfloat16)  # direct-upload oracle
+    np.testing.assert_array_equal(np.asarray(dev), np.asarray(want))
+    np.testing.assert_array_equal(data[:50, :40, :60], scene)
+
+    # non-binary channel 1: falls back to the direct upload
+    scene2 = rng.randn(50, 40, 60, 2).astype(np.float32)
+    data2, dev2 = si._upload_scene(scene2)
+    want2 = jnp.asarray(data2, dtype=jnp.bfloat16)
+    np.testing.assert_array_equal(np.asarray(dev2), np.asarray(want2))

@@ -387,8 +387,37 @@ class SceneInference:
         bucket = [((d + 47) // 48) * 48 for d in data.shape[:3]]
         data = pad_volume(data, bucket)
         # upload at the compute dtype: bf16 halves the ~35 MB/s tunnel
-        # transfer, and the first conv casts to bf16 anyway (identical math)
-        scene_dev = jax.device_put(jnp.asarray(data, dtype=self._dtype))
+        # transfer, and the first conv casts to bf16 anyway (identical math).
+        # The occupancy channel of encoded TSDF is binary (io/dataset.py::
+        # encode_tsdf: occ = sdf > -1) — ship it as PACKED BITS (32x fewer
+        # bytes) and rebuild the (X, Y, Z, 2) volume on device, value-exact.
+        # Scene upload bounds the steady streaming rate (it overlaps compute
+        # via prefetch_scene but the tunnel is serial), so bytes ARE time.
+        occ = data[..., 1]
+        compact = bool(
+            dict.get(self.cfg, "TPU_COMPACT_TRANSFERS", True)
+        ) and bool(np.isin(occ, (0.0, 1.0)).all())
+        if compact:
+            if getattr(self, "_rebuild_fn", None) is None:
+                dt = self._dtype
+
+                def rebuild(ch0, occ_bytes, shape):
+                    bits = (
+                        occ_bytes[:, None]
+                        >> jnp.arange(7, -1, -1, dtype=jnp.uint8)
+                    ) & 1  # MSB-first, matching np.packbits
+                    n = shape[0] * shape[1] * shape[2]
+                    occ_d = bits.reshape(-1)[:n].reshape(shape).astype(dt)
+                    return jnp.stack([ch0, occ_d], axis=-1)
+
+                self._rebuild_fn = jax.jit(rebuild, static_argnames=("shape",))
+            scene_dev = self._rebuild_fn(
+                jnp.asarray(data[..., 0], dtype=self._dtype),
+                jnp.asarray(np.packbits(occ.astype(bool).reshape(-1))),
+                data.shape[:3],
+            )
+        else:
+            scene_dev = jax.device_put(jnp.asarray(data, dtype=self._dtype))
         scene_dev.block_until_ready()  # finish the transfer on THIS thread
         return data, scene_dev
 
