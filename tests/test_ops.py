@@ -203,3 +203,21 @@ def test_roi_pool_segmented_matches_reference(rng):
     got = np.asarray(roi_pool3d_segmented(feat, jnp.asarray(rois), 4, 0.25))
     want = np.asarray(roi_pool3d_reference(feat, jnp.asarray(rois), 4, 0.25))
     np.testing.assert_array_equal(got, want)
+
+
+def test_nms_class_aware_matches_per_class(rng):
+    """classes= restricts suppression to same-class pairs; must equal
+    running the plain greedy NMS independently per class (the host
+    stitch-NMS semantics, infer/tiling.py::_stitch_nms). Multi-tile sizes
+    exercise the cross-tile suppression path too."""
+    for n, thresh in ((90, 0.25), (300, 0.35)):
+        boxes = rand_boxes(rng, n, scale=60.0)
+        classes = rng.randint(1, 5, size=n)
+        keep = np.asarray(
+            nms_mask(jnp.asarray(boxes), thresh, classes=jnp.asarray(classes))
+        )
+        expect = np.zeros(n, bool)
+        for c in np.unique(classes):
+            sel = np.where(classes == c)[0]
+            expect[sel[np_greedy_nms(boxes[sel], thresh)]] = True
+        np.testing.assert_array_equal(keep, expect)
