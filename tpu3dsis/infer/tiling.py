@@ -214,9 +214,13 @@ class SceneInference:
                 params, scene_dev, origins, w2gs, sel_idx, sel_valid,
                 feats2d, depths, poses,
             ):
+                # ALL tile batches of the scene in ONE dispatch (lax.map over
+                # batches, as the geometry path): per-batch dispatches each
+                # paid a full tunnel round trip, which dominated color-scene
+                # wall time ~25x over the actual tile compute.
                 # arg order: per-tile items first, then the replicated
                 # whole-scene operands — _shard_over_items slices the
-                # leading group across the mesh
+                # leading group across the mesh.
                 def one(origin, w2g, idx, ok):
                     scene = jax.lax.dynamic_slice(
                         scene_dev, (origin[0], origin[1], origin[2], 0),
@@ -232,7 +236,12 @@ class SceneInference:
                     out = single(params, scene[None], frames)
                     return {k: out[k] for k in _STITCH_KEYS}
 
-                return jax.vmap(one)(origins, w2gs, sel_idx, sel_valid)
+                # leading item axis (n_batches, bs, ...): map batches, vmap
+                # tiles within a batch
+                return jax.lax.map(
+                    lambda args: jax.vmap(one)(*args),
+                    (origins, w2gs, sel_idx, sel_valid),
+                )
 
             if mesh is not None:
                 tiled_color = self._shard_over_items(
@@ -576,23 +585,48 @@ class SceneInference:
             return out
 
         if use_color:
-            batch_outs = []
-            for i in range(0, n, bs):
-                out = self._color_fns[1](
-                    params,
-                    scene_dev,
-                    jnp.asarray(padb(origins_np, i)),
-                    jnp.asarray(padb(w2gs, i)),
-                    jnp.asarray(padb(sel_idx, i)),
-                    jnp.asarray(padb(sel_valid, i)),
-                    feats2d,
-                    depths_d,
-                    poses_d,
-                )
-                batch_outs.append(jax.device_get(out))  # one bulk transfer
+            # ONE dispatch for the whole scene (lax.map over tile batches on
+            # device) + one bulk download — per-batch dispatches each paid a
+            # tunnel round trip, ~25x the tile compute
+            def stackb(a):
+                return np.stack([padb(a, i) for i in range(0, n, bs)])
+
+            all_origins = stackb(origins_np)  # (nb, bs, 3)
+            all_w2gs = stackb(w2gs)
+            all_sel_idx = stackb(sel_idx)
+            all_sel_valid = stackb(sel_valid)
+            nb = all_origins.shape[0]
+            if self.mesh is not None:
+                # pad the batch axis to the mesh size; padded batches land
+                # past index n and are never read by the stitch loop below
+                n_dev = self.mesh.devices.size
+                pad_b = -nb % n_dev
+                if pad_b:
+                    def padm(a):
+                        return np.concatenate(
+                            [a, np.zeros((pad_b, *a.shape[1:]), a.dtype)]
+                        )
+
+                    all_origins = padm(all_origins)
+                    all_w2gs = padm(all_w2gs)
+                    all_sel_idx = padm(all_sel_idx)
+                    all_sel_valid = padm(all_sel_valid)
+                nb += pad_b
+            out = self._color_fns[1](
+                params,
+                scene_dev,
+                jnp.asarray(all_origins),
+                jnp.asarray(all_w2gs),
+                jnp.asarray(all_sel_idx),
+                jnp.asarray(all_sel_valid),
+                feats2d,
+                depths_d,
+                poses_d,
+            )
+            out = jax.device_get(out)  # one bulk transfer
             out_np = {
-                k: np.concatenate([b[k] for b in batch_outs])
-                for k in batch_outs[0]
+                k: np.asarray(v).reshape(nb * bs, *v.shape[2:])
+                for k, v in out.items()
             }
         else:
             all_origins = np.stack(
