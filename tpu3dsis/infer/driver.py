@@ -108,26 +108,29 @@ def run_scenes(
     def _fetch(i):
         s = dataset[i]
         si.prefetch_scene(s.data)
-        return s
+        frames = None
+        if cfg.USE_IMAGES and s.images is not None:
+            frames = {
+                "images": s.images,
+                "depths": s.depths,
+                "poses": s.poses,
+                "world_to_grid": s.world_to_grid,
+            }
+            # image upload + ENet for the NEXT scene overlap this scene's
+            # compute (tiling.py::prefetch_frames)
+            si.prefetch_frames(params, frames)
+        return s, frames
 
     pending = loader.submit(_fetch, todo[0]) if todo else None
     for pos, idx in enumerate(todo):
         scene_path = dataset.scenes[idx]
         out_dir = _scene_dir(save_dir, scene_path)
-        sample = pending.result()
+        sample, frames = pending.result()
         pending = (
             loader.submit(_fetch, todo[pos + 1])
             if pos + 1 < len(todo)
             else None
         )
-        frames = None
-        if cfg.USE_IMAGES and sample.images is not None:
-            frames = {
-                "images": sample.images,
-                "depths": sample.depths,
-                "poses": sample.poses,
-                "world_to_grid": sample.world_to_grid,
-            }
         if with_masks and not single_shot:
             # fused one-dispatch path where eligible (geometry-only,
             # no mesh); otherwise infer() itself falls back to

@@ -479,15 +479,43 @@ class SceneInference:
         self._scene_cache = (scene_data, data, scene_dev)
         return data, scene_dev
 
+    def prefetch_frames(self, params, frames) -> None:
+        """Start a scene's color prep (image upload + ENet) in the background.
+
+        The image upload (~24 MB for 96 views) plus the ENet pass is ~0.6 s
+        per scene through the tunnel; a scene stream hides it entirely by
+        preparing scene i+1's views while scene i computes (same pattern as
+        ``prefetch_scene``). Results land in the bounded ``_prepare_color``
+        cache keyed by frames-dict identity.
+        """
+        if frames is None or self._color_fns is None:
+            return
+        cache = getattr(self, "_color_prep_cache", None)
+        if cache is not None and id(frames) in cache:
+            return
+        if getattr(self, "_upload_exec", None) is None:
+            import concurrent.futures
+
+            self._upload_exec = concurrent.futures.ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="scene-upload"
+            )
+        params_d = self._device_params(params)
+        self._upload_exec.submit(self._prepare_color, params_d, frames)
+
     def _prepare_color(self, params, frames):
         """Per-scene: ENet features for all views (bucketed V) + frusta.
 
-        Cached by frames-dict identity so detect + predict_masks on the same
-        scene share one ENet pass and one feature upload.
+        Cached by frames-dict identity (bounded dict — a prefetched scene
+        stream holds several scenes' prep in flight) so detect +
+        predict_masks on the same scene share one ENet pass and one feature
+        upload.
         """
-        cached = getattr(self, "_color_prep_cache", None)
-        if cached is not None and cached[0] is frames:
-            return cached[1]
+        cache = getattr(self, "_color_prep_cache", None)
+        if cache is None:
+            cache = self._color_prep_cache = {}
+        hit = cache.get(id(frames))
+        if hit is not None and hit[0] is frames:
+            return hit[1]
         from tpu3dsis.models.color import frustum_bbox_grid
 
         proj = self.det.color_projector
@@ -525,7 +553,9 @@ class SceneInference:
             for i in range(v)
         ]
         out = (feats2d, jnp.asarray(depths), jnp.asarray(poses), frusta)
-        self._color_prep_cache = (frames, out)
+        if len(cache) >= 4:  # bound HBM held by in-flight preps
+            cache.pop(next(iter(cache)))
+        cache[id(frames)] = (frames, out)
         return out
 
     # --- main entry -------------------------------------------------------
