@@ -155,3 +155,95 @@ def test_windowed_equals_full_for_80_voxel_box(rng, scannet_cfg):
         losses.append(float(m["loss_mask"]))
     assert losses[0] > 0.1  # non-degenerate
     np.testing.assert_allclose(losses[0], losses[1], rtol=1e-4)
+
+
+def test_small_canvas_bucketed_training_equals_unbucketed(rng, scannet_cfg):
+    """TPU_MASK_CANVAS_SMALL routes small rois through a small-canvas queue;
+    with enough large-queue capacity (no drops) the mask loss must equal the
+    single-queue path exactly (region-masked FCN is canvas-size
+    independent)."""
+    from tpu3dsis.models import Detector
+    from tpu3dsis.train.trainstep import TrainState, build_train_step
+
+    shape = (96, 16, 32)
+    gt = np.zeros((1, 4, 7), np.float32)
+    gt[:, :, :3] = -1e4
+    gt[:, :, 3:6] = -1e4 + 1
+    gt[:, 0] = [4, 4, 4, 84, 12, 12, 3]   # 80 voxels along x: large queue
+    gt[:, 1] = [8, 2, 18, 20, 12, 30, 5]  # 12-voxel box: small queue
+    batch = {
+        "data": rng.randn(1, *shape, 2).astype(np.float32),
+        "gt_box": gt,
+        "gt_valid": np.pad(np.ones((1, 2), bool), ((0, 0), (0, 2))),
+        "mask_canvas": np.zeros((1, *shape), np.float32),
+    }
+    batch["mask_canvas"][0, 4:84, 4:12, 4:12] = (
+        rng.rand(80, 8, 8) > 0.5
+    ).astype(np.float32)
+    batch["mask_canvas"][0, 8:20, 2:12, 18:30] = (
+        rng.rand(12, 10, 12) > 0.5
+    ).astype(np.float32)
+
+    losses = []
+    for small in ([0, 0, 0], [16, 16, 16]):
+        cfg = scannet_cfg.copy()
+        cfg.LABEL_MAP = ""
+        cfg.TPU_MAX_GT = 4
+        cfg.TPU_MAX_MASK_ROIS = 4
+        cfg.TPU_MASK_EXTRA_WINDOWS = 8
+        cfg.TRAIN.RPN_PRE_NMS_TOP_N = 32
+        cfg.TRAIN.RPN_POST_NMS_TOP_N = 8
+        cfg.RPN_BATCHSIZE = 16
+        cfg.CLASS_BATCH_SIZE = 8
+        cfg.TPU_MASK_CANVAS = [32, 16, 32]
+        cfg.TPU_MASK_CANVAS_SMALL = small
+        cfg.TPU_MAX_LARGE_MASK_ROIS = 4
+        det = Detector(cfg, anchor_dir="experiments/anchors")
+        params = det.init_params(jax.random.PRNGKey(0))
+        opt_init, step = build_train_step(det, cfg, shape, mesh=None)
+        state = TrainState(params=params, opt=opt_init(params))
+        _, m = step(state, batch, jax.random.PRNGKey(0))
+        assert float(m["mask_windows_dropped"]) == 0.0
+        losses.append(float(m["loss_mask"]))
+    assert losses[0] > 0.1
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-4)
+
+
+def test_small_canvas_bucketed_full_canvas_capacity(rng, scannet_cfg):
+    """Bucketing with TPU_MASK_CANVAS == chunk dims (the degenerate
+    full-volume path) respects the reduced large-queue capacity: valid
+    large rois beyond it are counted as dropped, never silently lost."""
+    from tpu3dsis.models import Detector
+    from tpu3dsis.train.trainstep import TrainState, build_train_step
+
+    shape = (96, 16, 32)
+    gt = np.zeros((1, 4, 7), np.float32)
+    gt[:, :, :3] = -1e4
+    gt[:, :, 3:6] = -1e4 + 1
+    gt[:, 0] = [4, 4, 4, 84, 12, 12, 3]
+    gt[:, 1] = [10, 2, 2, 90, 14, 14, 5]  # second large roi
+    batch = {
+        "data": rng.randn(1, *shape, 2).astype(np.float32),
+        "gt_box": gt,
+        "gt_valid": np.pad(np.ones((1, 2), bool), ((0, 0), (0, 2))),
+        "mask_canvas": np.zeros((1, *shape), np.float32),
+    }
+    cfg = scannet_cfg.copy()
+    cfg.LABEL_MAP = ""
+    cfg.TPU_MAX_GT = 4
+    cfg.TPU_MAX_MASK_ROIS = 4
+    cfg.TRAIN.RPN_PRE_NMS_TOP_N = 32
+    cfg.TRAIN.RPN_POST_NMS_TOP_N = 8
+    cfg.RPN_BATCHSIZE = 16
+    cfg.CLASS_BATCH_SIZE = 8
+    cfg.TPU_MASK_CANVAS = list(shape)  # full-volume degenerate path
+    cfg.TPU_MASK_CANVAS_SMALL = [8, 8, 8]
+    cfg.TPU_MASK_EXTRA_WINDOWS = 0  # no halo windows in the degenerate path
+    cfg.TPU_MAX_LARGE_MASK_ROIS = 1  # 2 large rois -> 1 must drop
+    det = Detector(cfg, anchor_dir="experiments/anchors")
+    params = det.init_params(jax.random.PRNGKey(0))
+    opt_init, step = build_train_step(det, cfg, shape, mesh=None)
+    state = TrainState(params=params, opt=opt_init(params))
+    _, m = step(state, batch, jax.random.PRNGKey(0))
+    assert float(m["mask_windows_dropped"]) >= 1.0
+    assert np.isfinite(float(m["loss_mask"]))

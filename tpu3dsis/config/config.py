@@ -219,6 +219,13 @@ def default_config() -> Config:
     c.TPU_FUSED_LARGE_WINDOWS = 12
     # mask-training roi capacity per sample
     c.TPU_MAX_MASK_ROIS = 16
+    # opt-in small-canvas fast queue for mask TRAINING (0s = off): rois
+    # fitting [sx, sy, sz] run the region-masked FCN on a small canvas
+    # (exact); the TPU_MASK_CANVAS queue then only carries
+    # TPU_MAX_LARGE_MASK_ROIS oversize rois (overflow counted in the
+    # mask_windows_dropped metric, never silent)
+    c.TPU_MASK_CANVAS_SMALL = [0, 0, 0]
+    c.TPU_MAX_LARGE_MASK_ROIS = 16
     # spare work-queue slots for halo-windows of rois larger than the mask
     # canvas (ops/mask_windows.py); 0 degrades oversize rois gracefully
     c.TPU_MASK_EXTRA_WINDOWS = 4

@@ -1060,7 +1060,8 @@ class SceneInference:
                     dims <= jnp.asarray(canvas_s, jnp.float32)[None], axis=1
                 )
                 plan_s = plan_windows(
-                    kept_box, kept_valid & fits, pad_shape, canvas_s, k_det
+                    kept_box, kept_valid & fits, pad_shape, canvas_s, k_det,
+                    single_window=True,
                 )
                 plan_l = plan_windows(
                     kept_box, kept_valid & ~fits, pad_shape, canvas_l,

@@ -43,7 +43,8 @@ def windows_per_axis(scene: int, canvas: int, halo: int = HALO) -> int:
 
 
 def plan_windows(rois, roi_valid, scene_shape, canvas, capacity,
-                 halo: int = HALO, allow_drop: bool = False):
+                 halo: int = HALO, allow_drop: bool = False,
+                 single_window: bool = False):
     """jnp planner: (M, 6) rois -> a capacity-C window work queue.
 
     Returns dict with, per work item:
@@ -67,8 +68,17 @@ def plan_windows(rois, roi_valid, scene_shape, canvas, capacity,
         raise ValueError(f"capacity {capacity} < num rois {m}")
     scene_t = tuple(int(x) for x in scene_shape)
     canvas_t = tuple(int(x) for x in canvas)
-    ks = tuple(
-        windows_per_axis(sc, ca, halo) for sc, ca in zip(scene_t, canvas_t)
+    # single_window: the caller guarantees every VALID roi fits the canvas
+    # (e.g. the small-canvas fast queues, whose validity masks exclude
+    # oversize rois), so halo decomposition — and its canvas > 2*halo
+    # constraint — is skipped entirely
+    ks = (
+        (1, 1, 1)
+        if single_window
+        else tuple(
+            windows_per_axis(sc, ca, halo)
+            for sc, ca in zip(scene_t, canvas_t)
+        )
     )
     k_total = ks[0] * ks[1] * ks[2]
     capacity = min(capacity, m * k_total)  # can't need more than every window

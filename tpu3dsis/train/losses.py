@@ -96,21 +96,47 @@ def mask_loss_windowed(mask_logits, mask_targets, own_masks, item_valid,
     segments; labels/roi_valid: per-roi (M,); class_weights with weights[0]
     forced 0 (bg contributes nothing).
     """
-    cw = class_weights.at[0].set(0.0)
-    lab_item = labels[roi_idx]
-    logit = jnp.take_along_axis(
-        mask_logits, lab_item[:, None, None, None, None], axis=4
-    )[..., 0]
-    target = mask_targets
-    # numerically-stable BCE with logits
-    bce = jnp.maximum(logit, 0) - logit * target + jnp.log1p(
-        jnp.exp(-jnp.abs(logit))
+    return mask_loss_window_groups(
+        [(mask_logits, mask_targets, own_masks, item_valid, roi_idx)],
+        labels, roi_valid, class_weights, num_rois,
     )
-    w_own = own_masks * item_valid[:, None, None, None].astype(own_masks.dtype)
-    item_sum = jnp.sum(bce * w_own, axis=(1, 2, 3))
-    item_cnt = jnp.sum(w_own, axis=(1, 2, 3))
-    roi_sum = jax.ops.segment_sum(item_sum, roi_idx, num_segments=num_rois)
-    roi_cnt = jax.ops.segment_sum(item_cnt, roi_idx, num_segments=num_rois)
+
+
+def mask_loss_window_groups(groups, labels, roi_valid, class_weights,
+                            num_rois):
+    """Mask BCE over several window work queues sharing one roi space.
+
+    Each group is (mask_logits, mask_targets, own_masks, item_valid,
+    roi_idx) with its OWN canvas shape; every roi's windows live entirely in
+    one group (e.g. the small-canvas fast queue vs the large-canvas halo
+    queue in ``trainstep``), so per-roi sums/counts accumulate across groups
+    into the same (M,) segment space and the result is identical to a
+    single queue holding all windows.
+    """
+    cw = class_weights.at[0].set(0.0)
+    roi_sum = jnp.zeros((num_rois,), jnp.float32)
+    roi_cnt = jnp.zeros((num_rois,), jnp.float32)
+    for mask_logits, mask_targets, own_masks, item_valid, roi_idx in groups:
+        lab_item = labels[roi_idx]
+        logit = jnp.take_along_axis(
+            mask_logits, lab_item[:, None, None, None, None], axis=4
+        )[..., 0]
+        target = mask_targets
+        # numerically-stable BCE with logits
+        bce = jnp.maximum(logit, 0) - logit * target + jnp.log1p(
+            jnp.exp(-jnp.abs(logit))
+        )
+        w_own = own_masks * item_valid[:, None, None, None].astype(
+            own_masks.dtype
+        )
+        item_sum = jnp.sum(bce * w_own, axis=(1, 2, 3))
+        item_cnt = jnp.sum(w_own, axis=(1, 2, 3))
+        roi_sum = roi_sum + jax.ops.segment_sum(
+            item_sum, roi_idx, num_segments=num_rois
+        )
+        roi_cnt = roi_cnt + jax.ops.segment_sum(
+            item_cnt, roi_idx, num_segments=num_rois
+        )
     per_roi = roi_sum / jnp.maximum(roi_cnt, 1.0)
     w = cw[labels] * roi_valid.astype(cw.dtype)
     counter = jnp.sum((w != 0.0).astype(jnp.float32))

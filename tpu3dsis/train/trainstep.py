@@ -41,7 +41,8 @@ def _window_region_mask(local, canvas):
 
 
 def _mask_forward_scan(detector, params, scene, rois, roi_valid, scene_shape,
-                       canvas, imageft=None, chunk=4, extra_windows=4):
+                       canvas, imageft=None, chunk=4, extra_windows=4,
+                       capacity=None, allow_drop=False, single_window=False):
     """Run the mask FCN over a fixed-capacity queue of roi crop windows.
 
     Each roi that fits the `canvas` (TPU_MASK_CANVAS) gets ONE window with
@@ -65,15 +66,28 @@ def _mask_forward_scan(detector, params, scene, rois, roi_valid, scene_shape,
     if full:
         # windows degenerate to the whole volume: share the scene across
         # rois instead of materializing per-roi crop copies
+        if capacity is not None and capacity < m_rois:
+            # compaction (valid first) so a reduced-capacity queue drops
+            # only invalid rois when possible; real drops are counted
+            order = jnp.argsort(~roi_valid, stable=True)[:capacity]
+            rois = rois[order]
+            kept_valid = roi_valid[order]
+            dropped = jnp.sum(roi_valid) - jnp.sum(kept_valid)
+            roi_idx = order.astype(jnp.int32)
+            item_valid = kept_valid
+            m_rois = capacity
+        else:
+            roi_idx = jnp.arange(m_rois, dtype=jnp.int32)
+            item_valid = roi_valid
+            dropped = jnp.zeros((), jnp.int32)
         starts = jnp.zeros((m_rois, 3), jnp.int32)
         locals6 = jnp.round(rois).astype(jnp.int32)
         own6 = locals6
-        roi_idx = jnp.arange(m_rois, dtype=jnp.int32)
-        item_valid = roi_valid
-        dropped = jnp.zeros((), jnp.int32)
     else:
         plan = plan_windows(
-            rois, roi_valid, scene_shape, canvas, m_rois + extra_windows
+            rois, roi_valid, scene_shape, canvas,
+            m_rois + extra_windows if capacity is None else capacity,
+            allow_drop=allow_drop, single_window=single_window,
         )
         starts, locals6, own6 = plan["starts"], plan["locals6"], plan["own6"]
         roi_idx, item_valid = plan["roi_idx"], plan["valid"]
@@ -162,6 +176,20 @@ def build_loss_fn(detector: Detector, cfg, scene_shape):
     mask_extra_windows = int(getattr_cfg(cfg, "TPU_MASK_EXTRA_WINDOWS", 4))
     mask_canvas_dims = tuple(
         int(c) for c in getattr_cfg(cfg, "TPU_MASK_CANVAS", list(scene_shape))
+    )
+    # opt-in small-canvas fast queue for mask training (TPU_MASK_CANVAS_SMALL
+    # [sx, sy, sz], 0s = off): rois fitting the small canvas run the FCN on
+    # ~13x fewer voxels (exact — region-masked FCN is canvas-size
+    # independent); the large-canvas queue then only needs capacity for the
+    # few oversize rois (TPU_MAX_LARGE_MASK_ROIS), with overflow counted in
+    # the mask_windows_dropped metric rather than silently truncated
+    mask_small_dims = tuple(
+        int(c)
+        for c in getattr_cfg(cfg, "TPU_MASK_CANVAS_SMALL", [0, 0, 0])
+    )
+    use_small_canvas = all(c > 0 for c in mask_small_dims)
+    max_large_rois = int(
+        getattr_cfg(cfg, "TPU_MAX_LARGE_MASK_ROIS", max_mask_rois)
     )
     use_mask = bool(cfg.USE_MASK) and detector.mask_backbone is not None
     use_images = bool(cfg.USE_IMAGES)
@@ -279,36 +307,74 @@ def build_loss_fn(detector: Detector, cfg, scene_shape):
                 float(cfg.MASK_FG_THRESH),
                 max_mask_rois,
             )
-            mw = _mask_forward_scan(
-                detector,
-                params,
-                sample["data"],
-                mtargets["rois"],
-                mtargets["valid"],
-                shape_t,
-                mask_canvas_dims,
-                imageft=imageft[0] if (mask_use_images and imageft is not None) else None,
-                extra_windows=mask_extra_windows,
+            m_ift = (
+                imageft[0]
+                if (mask_use_images and imageft is not None)
+                else None
             )
-            win = mw["logits"].shape[1:4]
-            targets = jax.vmap(
-                lambda s: jax.lax.dynamic_slice(
-                    sample["mask_canvas"], (s[0], s[1], s[2]), win
+
+            def queue(rois, valid, canvas, capacity, allow_drop,
+                      single_window=False):
+                mw = _mask_forward_scan(
+                    detector,
+                    params,
+                    sample["data"],
+                    rois,
+                    valid,
+                    shape_t,
+                    canvas,
+                    imageft=m_ift,
+                    extra_windows=mask_extra_windows,
+                    capacity=capacity,
+                    allow_drop=allow_drop,
+                    single_window=single_window,
                 )
-            )(mw["starts"]).astype(jnp.float32)  # canvas may arrive uint8
-            lm = L.mask_loss_windowed(
-                mw["logits"],
-                targets,
-                mw["own_masks"],
-                mw["valid"],
-                mw["roi_idx"],
+                win = mw["logits"].shape[1:4]
+                targets = jax.vmap(
+                    lambda s: jax.lax.dynamic_slice(
+                        sample["mask_canvas"], (s[0], s[1], s[2]), win
+                    )
+                )(mw["starts"]).astype(jnp.float32)  # canvas may be uint8
+                group = (
+                    mw["logits"], targets, mw["own_masks"], mw["valid"],
+                    mw["roi_idx"],
+                )
+                return group, mw["dropped"]
+
+            if use_small_canvas:
+                r = jnp.round(mtargets["rois"]).astype(jnp.int32)
+                dims = r[:, 3:6] - r[:, :3]
+                fits = jnp.all(
+                    dims <= jnp.asarray(mask_small_dims, jnp.int32)[None],
+                    axis=1,
+                )
+                g_small, d_small = queue(
+                    mtargets["rois"], mtargets["valid"] & fits,
+                    mask_small_dims, max_mask_rois, False,
+                    single_window=True,
+                )
+                g_large, d_large = queue(
+                    mtargets["rois"], mtargets["valid"] & ~fits,
+                    mask_canvas_dims,
+                    max_large_rois + mask_extra_windows, True,
+                )
+                groups = [g_small, g_large]
+                dropped = d_small + d_large
+            else:
+                g, dropped = queue(
+                    mtargets["rois"], mtargets["valid"], mask_canvas_dims,
+                    None, False,
+                )
+                groups = [g]
+            lm = L.mask_loss_window_groups(
+                groups,
                 mtargets["labels"],
                 mtargets["valid"],
                 class_weights,
                 max_mask_rois,
             )
             metrics["loss_mask"] = lm
-            metrics["mask_windows_dropped"] = mw["dropped"].astype(jnp.float32)
+            metrics["mask_windows_dropped"] = dropped.astype(jnp.float32)
             total = total + lm
 
         metrics["total_loss"] = total
