@@ -32,6 +32,10 @@ import numpy as np
 REFERENCE_CHUNKS_PER_S_ESTIMATE = 8.0  # conservative 1080 Ti estimate
 BATCH = 32
 SCENE_FIXTURE = "tests/fixtures/tiling_parity_params.npz"
+# TPU v5e (v5 lite) peak: 197 TFLOP/s bf16 / 394 TOP/s int8 per chip
+# (public spec, cloud.google.com/tpu/docs/v5e). MFU below = achieved
+# flops/s (XLA cost_analysis flops / measured wall) over this peak.
+V5E_PEAK_BF16_FLOPS = 197e12
 
 
 def measured_baseline():
@@ -73,11 +77,33 @@ def bench_chunks(jax, jnp):
     rng = np.random.RandomState(0)
     scenes = jnp.asarray(rng.randn(BATCH, *shape, 2).astype(np.float32))
 
+    lowered = fn.lower(params, scenes).compile()
+    try:
+        total_flops = float(lowered.cost_analysis()["flops"])
+    except Exception:
+        total_flops = None
+
     float(fn(params, scenes))  # warmup/compile + full completion
-    t0 = time.perf_counter()
-    float(fn(params, scenes))
-    dt = time.perf_counter() - t0
-    return BATCH * iters / dt
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(fn(params, scenes))
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    rate = BATCH * iters / dt
+    extras = {
+        "chunks_per_s_spread": [
+            round(BATCH * iters / t, 2) for t in sorted(times)
+        ],
+    }
+    if total_flops:
+        # flops is for the whole program (BATCH * iters chunks)
+        extras["chunk_gflops"] = round(total_flops / (BATCH * iters) / 1e9, 2)
+        extras["achieved_tflops"] = round(total_flops / dt / 1e12, 2)
+        extras["mfu_vs_v5e_bf16_peak"] = round(
+            total_flops / dt / V5E_PEAK_BF16_FLOPS, 4
+        )
+    return rate, extras
 
 
 def bench_masked_scene(jax):
@@ -139,8 +165,14 @@ def bench_masked_scene(jax):
             assert len(masks) == len(out["pred_box"])
         return (time.perf_counter() - t0) / len(stream)
 
-    dt = min(one_pass() for _ in range(5))
+    # single passes vary up to 2x through transient tunnel stalls; the
+    # MEDIAN of 5 is the canonical figure (driver-comparable), best-of-5 is
+    # reported alongside as the steady-state upper bound
+    passes = sorted(one_pass() for _ in range(5))
+    dt = passes[len(passes) // 2]
     return {"scenes_per_min_masked": 60.0 / dt,
+            "scenes_per_min_masked_best": 60.0 / passes[0],
+            "scene_s_spread": [round(p, 3) for p in passes],
             "detections": int(round(n_det / k)), "scene_s": dt}
 
 
@@ -152,7 +184,7 @@ def main():
     enable_compilation_cache()
     import jax.numpy as jnp
 
-    chunks_per_s = bench_chunks(jax, jnp)
+    chunks_per_s, chunk_extras = bench_chunks(jax, jnp)
     scene = bench_masked_scene(jax)
 
     base = measured_baseline()
@@ -173,10 +205,15 @@ def main():
             chunks_per_s / REFERENCE_CHUNKS_PER_S_ESTIMATE, 2
         ),
     }
+    out.update(chunk_extras)
     if scene:
         out["scenes_per_min_masked"] = round(scene["scenes_per_min_masked"], 2)
+        out["scenes_per_min_masked_best"] = round(
+            scene["scenes_per_min_masked_best"], 2
+        )
         out["scene_detections"] = scene["detections"]
         out["scene_s"] = round(scene["scene_s"], 3)
+        out["scene_s_spread"] = scene["scene_s_spread"]
     print(json.dumps(out))
 
 

@@ -229,8 +229,17 @@ def default_config() -> Config:
     # spare work-queue slots for halo-windows of rois larger than the mask
     # canvas (ops/mask_windows.py); 0 degrades oversize rois gracefully
     c.TPU_MASK_EXTRA_WINDOWS = 4
-    # max views fused per tile in whole-scene color inference
+    # max views fused per tile in whole-scene color inference (only used by
+    # the per-tile fallback path — see TPU_SCENE_COLOR_RESIDENT)
     c.TPU_MAX_TILE_VIEWS = 16
+    # whole-scene color inference: 'auto' builds a scene-resident projected
+    # color volume ONCE per scene (every view fused, exact reference
+    # semantics — lib/nets/network.py:220-235 — no per-tile view cap) when
+    # it fits TPU_COLOR_VOLUME_MAX_MB of HBM, and tiles/mask windows slice
+    # from it; 'never' forces the per-tile frustum-selected re-projection
+    # (TPU_MAX_TILE_VIEWS cap); 'always' errors if over budget.
+    c.TPU_SCENE_COLOR_RESIDENT = "auto"
+    c.TPU_COLOR_VOLUME_MAX_MB = 2048
     # whole-scene inference mode: 'tiled' (production) or 'single_shot'
     # (reference-style one pass, for parity experiments)
     c.TPU_SCENE_MODE = "tiled"

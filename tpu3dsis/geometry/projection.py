@@ -42,6 +42,7 @@ def compute_projection(
     depth_min,
     depth_max,
     voxel_size,
+    coord_offset=None,
 ):
     """Project every voxel center into one depth frame.
 
@@ -51,6 +52,12 @@ def compute_projection(
       intrinsic: (4, 4) at the depth-map resolution.
       volume_dims: static (X, Y, Z).
       image_dims: static (W, H) — reference convention (config DEPTH_SHAPE).
+      coord_offset: optional (3,) voxel offset added to the grid coords —
+        projects the sub-volume starting at that offset of the grid that
+        ``world_to_grid`` maps into. Bit-identical to slicing the full-grid
+        result (the coords fed through the matrices are the same floats),
+        unlike shifting the world_to_grid translation, whose inverse then
+        differs in float (see ``infer/color_volume.py``).
 
     Returns:
       lin2d: (X, Y, Z) int32 flat pixel index (y * W + x), 0 where invalid.
@@ -63,6 +70,9 @@ def compute_projection(
     x = jnp.arange(volume_dims[0], dtype=jnp.float32)
     y = jnp.arange(volume_dims[1], dtype=jnp.float32)
     z = jnp.arange(volume_dims[2], dtype=jnp.float32)
+    if coord_offset is not None:
+        off = coord_offset.astype(jnp.float32)
+        x, y, z = x + off[0], y + off[1], z + off[2]
     gx, gy, gz = jnp.meshgrid(x, y, z, indexing="ij")
     ones = jnp.ones_like(gx)
     coords = jnp.stack([gx, gy, gz, ones], axis=-1).reshape(-1, 4)  # (N, 4)
