@@ -225,6 +225,99 @@ def test_color_scene_mode_through_driver(tmp_path, rng, scannet_cfg):
     assert "mAP_CLASSIFICATION" in results
 
 
+def test_resident_matches_per_tile_all_views(tmp_path, rng, scannet_cfg):
+    """The scene-resident color volume path must agree with the per-tile
+    re-projection path when the view cap admits every view (the two differ
+    only in where the projection floats are computed)."""
+    import jax
+
+    from tpu3dsis.infer.tiling import SceneInference
+    from tpu3dsis.models import Detector
+
+    base = build_frames_dir(tmp_path, rng)
+    cfg = color_cfg(scannet_cfg, tmp_path, base)
+    cfg.MODE = "test"
+    cfg.TPU_MAX_TILE_VIEWS = 3  # >= all views: per-tile path is uncapped
+
+    det = Detector(cfg, anchor_dir="experiments/anchors")
+    params = det.init_params(jax.random.PRNGKey(0))
+    scene = rng.randn(24, 16, 24, 2).astype(np.float32)
+    frames = {
+        "images": rng.randn(3, H, W, 1).astype(np.float32),
+        "depths": rng.uniform(0.5, 3.5, (3, H, W)).astype(np.float32),
+        "poses": np.tile(np.eye(4, dtype=np.float32), (3, 1, 1)),
+        "world_to_grid": np.diag([4.0, 4.0, 4.0, 1.0]).astype(np.float32),
+    }
+    frames["poses"][:, 2, 3] = -1.0
+
+    si_res = SceneInference(det, cfg, tile_batch=2)
+    out_res = si_res.detect(params, scene, frames=frames)
+
+    cfg_tile = cfg.copy()
+    cfg_tile.TPU_SCENE_COLOR_RESIDENT = "never"
+    si_tile = SceneInference(det, cfg_tile, tile_batch=2)
+    out_tile = si_tile.detect(params, scene, frames=frames)
+
+    np.testing.assert_array_equal(out_res["pred_class"], out_tile["pred_class"])
+    np.testing.assert_allclose(out_res["pred_box"], out_tile["pred_box"],
+                               atol=1e-4)
+    np.testing.assert_allclose(out_res["pred_conf"], out_tile["pred_conf"],
+                               atol=1e-5)
+
+
+def test_color_fused_matches_multidispatch(tmp_path, rng, scannet_cfg):
+    """Fused one-dispatch color scene inference (tiles + stitch NMS + mask
+    windows with resident color crops in ONE program) must equal the
+    multi-dispatch detect + predict_masks path."""
+    import jax
+
+    from tpu3dsis.infer.tiling import SceneInference
+    from tpu3dsis.models import Detector
+
+    cfg = color_cfg(scannet_cfg, tmp_path, base_path="")
+    cfg.MODE = "test"
+    cfg.MASK_USE_IMAGES = True
+    cfg.NUM_IMAGE_CHANNELS = 128  # mask color branch is 128-in
+    cfg.TPU_TILE_SIZE = [16, 16, 16]
+    cfg.TPU_TILE_STRIDE = [8, 16, 8]
+    cfg.CLASS_THRESH = 0.0
+    # random weights at CLASS_THRESH 0 keep ~everything: size the device
+    # queues so the fused program serves instead of overflow-falling-back
+    cfg.TPU_FUSED_MAX_DETECTIONS = 256
+    cfg.TPU_FUSED_LARGE_WINDOWS = 32
+
+    det = Detector(cfg, anchor_dir="experiments/anchors")
+    params = det.init_params(jax.random.PRNGKey(0))
+    scene = rng.randn(24, 16, 24, 2).astype(np.float32)
+    v = 3
+    frames = {
+        "images": rng.randn(v, H, W, 128).astype(np.float32),
+        "depths": rng.uniform(0.5, 3.5, (v, H, W)).astype(np.float32),
+        "poses": np.tile(np.eye(4, dtype=np.float32), (v, 1, 1)),
+        "world_to_grid": np.diag([4.0, 4.0, 4.0, 1.0]).astype(np.float32),
+    }
+    frames["poses"][:, 2, 3] = -1.0
+
+    si = SceneInference(det, cfg, tile_batch=2)
+    out_multi = si.detect(params, scene, frames=frames)
+    masks_multi = si.predict_masks(params, scene, out_multi, frames=frames)
+
+    out_fused, masks_fused = si.infer(params, scene, frames=frames)
+    assert si._last_fused, "color scene did not take the fused program"
+
+    np.testing.assert_array_equal(
+        out_multi["pred_class"], out_fused["pred_class"]
+    )
+    np.testing.assert_allclose(
+        out_multi["pred_box"], out_fused["pred_box"], atol=1e-4
+    )
+    assert len(masks_fused) == len(masks_multi)
+    for a, b in zip(masks_multi, masks_fused):
+        assert a.shape == b.shape
+        if a.size:  # clipped-degenerate boxes yield empty masks
+            assert (a != b).mean() < 0.005
+
+
 @pytest.mark.slow
 def test_mask_use_images_scene_inference_exact(tmp_path, rng, scannet_cfg):
     """MASK_USE_IMAGES at scene-inference time (VERDICT r1 missing #3):

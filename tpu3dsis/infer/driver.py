@@ -116,9 +116,9 @@ def run_scenes(
                 "poses": s.poses,
                 "world_to_grid": s.world_to_grid,
             }
-            # image upload + ENet for the NEXT scene overlap this scene's
-            # compute (tiling.py::prefetch_frames)
-            si.prefetch_frames(params, frames)
+            # image upload + ENet + resident color volume for the NEXT scene
+            # overlap this scene's compute (tiling.py::prefetch_frames)
+            si.prefetch_frames(params, frames, s.data.shape[:3])
         return s, frames
 
     pending = loader.submit(_fetch, todo[0]) if todo else None

@@ -202,10 +202,63 @@ class SceneInference:
                     if mesh is not None:
                         mcfs = self._shard_over_items(mcfs, n_item_args=6)
                     self._mask_color_fn_small = jax.jit(mcfs)
-        # color path: per-tile view selection + shared 2D features
+        # color path: a scene-resident projected color volume (every view
+        # fused once per scene — exact reference semantics, no view cap;
+        # infer/color_volume.py) when it fits TPU_COLOR_VOLUME_MAX_MB, else
+        # per-tile frustum view selection capped at TPU_MAX_TILE_VIEWS
         self.max_tile_views = int(dict.get(cfg, "TPU_MAX_TILE_VIEWS", 16))
+        self._resident_mode = str(
+            dict.get(cfg, "TPU_SCENE_COLOR_RESIDENT", "auto")
+        ).lower()
+        self._color_vol_max_bytes = int(
+            dict.get(cfg, "TPU_COLOR_VOLUME_MAX_MB", 2048)
+        ) * (1 << 20)
+        self._color_vol_fns = {}  # (bucket_shape, crop_shape) -> jitted build
         self._color_fns = None
+        self._color_res_fn = None
+        self._mask_color_res_fn = None
+        self._mask_color_res_fn_small = None
         if detector.color_projector is not None:
+            self._num_image_channels = int(cfg.NUM_IMAGE_CHANNELS)
+
+            def tiled_color_res(params, scene_dev, origins, color_dev):
+                """Resident-volume color tiles: slice BOTH the TSDF and the
+                projected color volume per tile (no per-tile projection)."""
+                c2d = color_dev.shape[-1]
+
+                def one(origin):
+                    scene = jax.lax.dynamic_slice(
+                        scene_dev, (origin[0], origin[1], origin[2], 0),
+                        (*self.tile, 2),
+                    )
+                    col = jax.lax.dynamic_slice(
+                        color_dev, (origin[0], origin[1], origin[2], 0),
+                        (*self.tile, c2d),
+                    )
+                    out = single(params, scene[None], {"imageft": col})
+                    return {k: out[k] for k in _STITCH_KEYS}
+
+                return jax.lax.map(lambda ob: jax.vmap(one)(ob), origins)
+
+            if mesh is not None:
+                tiled_color_res = self._shard_over_items(
+                    tiled_color_res, n_item_args=1
+                )
+            self._color_res_fn = jax.jit(tiled_color_res)
+            if detector.mask_backbone is not None and bool(
+                cfg.MASK_USE_IMAGES
+            ):
+                mrf = self._build_mask_color_fn_resident(self.mask_canvas)
+                if mesh is not None:
+                    mrf = self._shard_over_items(mrf, n_item_args=3)
+                self._mask_color_res_fn = jax.jit(mrf)
+                if self.mask_canvas_small is not None:
+                    mrfs = self._build_mask_color_fn_resident(
+                        self.mask_canvas_small
+                    )
+                    if mesh is not None:
+                        mrfs = self._shard_over_items(mrfs, n_item_args=3)
+                    self._mask_color_res_fn_small = jax.jit(mrfs)
 
             def feats_fn(params, images):
                 return detector.color_projector.image_features(params, images)
@@ -377,6 +430,78 @@ class SceneInference:
 
         return mask_batch
 
+    def _build_mask_color_fn_resident(self, canvas):
+        """MASK_USE_IMAGES with the scene-resident color volume: the color
+        branch input is a dynamic_slice of the resident volume — the exact
+        reference semantics (crop of the scene-level imageft,
+        ``lib/model/trainval.py:882-897``), no per-window re-projection."""
+        det = self.det
+        tx, ty, tz = canvas
+        thresh = float(self.cfg.MASK_THRESH)
+
+        def mask_batch(params, scene_dev, starts, locals_, labels, color_dev):
+            c2d = color_dev.shape[-1]
+            ix = jnp.arange(tx)[:, None, None]
+            iy = jnp.arange(ty)[None, :, None]
+            iz = jnp.arange(tz)[None, None, :]
+
+            def one(args):
+                start, local, label = args
+                crop = jax.lax.dynamic_slice(
+                    scene_dev, (start[0], start[1], start[2], 0),
+                    (tx, ty, tz, 2),
+                )
+                imageft = jax.lax.dynamic_slice(
+                    color_dev, (start[0], start[1], start[2], 0),
+                    (tx, ty, tz, c2d),
+                )
+                region = (
+                    (ix >= local[0]) & (ix < local[3])
+                    & (iy >= local[1]) & (iy < local[4])
+                    & (iz >= local[2]) & (iz < local[5])
+                ).astype(crop.dtype)
+                probs = det.mask_backbone.apply(
+                    params,
+                    (crop * region[..., None])[None],
+                    imageft=(imageft * region[..., None].astype(imageft.dtype))[None],
+                    training=False,
+                    region_mask=region[None, ..., None],
+                    compute_dtype=det.cfg_static["compute_dtype"],
+                )
+                bits = (probs[0, :, :, :, label] >= thresh).reshape(-1)
+                return jnp.packbits(bits)
+
+            return jax.lax.map(one, (starts, locals_, labels))
+
+        return mask_batch
+
+    # --- scene-resident color volume ---------------------------------------
+    def _bucket_shape(self, scene_shape):
+        """The padded device-scene shape ``_upload_scene`` produces."""
+        padded = [max(int(d), int(t)) for d, t in zip(scene_shape, self.tile)]
+        return tuple(((d + 47) // 48) * 48 for d in padded)
+
+    def _color_resident_ok(self, scene_shape):
+        """Does this scene use the resident color volume?"""
+        if self._color_res_fn is None:
+            return False
+        mode = self._resident_mode
+        if mode in ("never", "0", "false"):
+            return False
+        bucket = self._bucket_shape(scene_shape)
+        itemsize = 2 if self._dtype == jnp.bfloat16 else 4
+        nbytes = (
+            int(np.prod(bucket)) * self._num_image_channels * itemsize
+        )
+        if nbytes > self._color_vol_max_bytes:
+            if mode == "always":
+                raise ValueError(
+                    f"TPU_SCENE_COLOR_RESIDENT=always but the color volume "
+                    f"needs {nbytes >> 20} MB > TPU_COLOR_VOLUME_MAX_MB"
+                )
+            return False
+        return True
+
     def _device_params(self, params):
         """device_put the param dict ONCE per params identity.
 
@@ -479,14 +604,17 @@ class SceneInference:
         self._scene_cache = (scene_data, data, scene_dev)
         return data, scene_dev
 
-    def prefetch_frames(self, params, frames) -> None:
-        """Start a scene's color prep (image upload + ENet) in the background.
+    def prefetch_frames(self, params, frames, scene_shape=None) -> None:
+        """Start a scene's color prep (image upload + ENet + resident color
+        volume) in the background.
 
-        The image upload (~24 MB for 96 views) plus the ENet pass is ~0.6 s
-        per scene through the tunnel; a scene stream hides it entirely by
-        preparing scene i+1's views while scene i computes (same pattern as
-        ``prefetch_scene``). Results land in the bounded ``_prepare_color``
-        cache keyed by frames-dict identity.
+        The image upload (~24 MB for 96 views) plus the ENet pass plus the
+        resident-volume projection is the bulk of per-scene color cost; a
+        scene stream hides it entirely by preparing scene i+1's views while
+        scene i computes (same pattern as ``prefetch_scene``). Results land
+        in the bounded ``_prepare_color`` cache keyed by frames-dict
+        identity. Pass the scene's (X, Y, Z) shape so the resident color
+        volume can be built here too.
         """
         if frames is None or self._color_fns is None:
             return
@@ -500,63 +628,119 @@ class SceneInference:
                 max_workers=1, thread_name_prefix="scene-upload"
             )
         params_d = self._device_params(params)
-        self._upload_exec.submit(self._prepare_color, params_d, frames)
+        self._upload_exec.submit(
+            self._prepare_color, params_d, frames, scene_shape
+        )
 
-    def _prepare_color(self, params, frames):
-        """Per-scene: ENet features for all views (bucketed V) + frusta.
+    def _prepare_color(self, params, frames, scene_shape=None):
+        """Per-scene color prep: ENet features for all views (bucketed V),
+        frusta, and — when the scene shape is known and the volume fits —
+        the scene-resident projected color volume.
 
-        Cached by frames-dict identity (bounded dict — a prefetched scene
-        stream holds several scenes' prep in flight) so detect +
-        predict_masks on the same scene share one ENet pass and one feature
-        upload.
+        Returns a dict with feats2d, depths, poses, frusta, and optionally
+        color (device volume) + color_shape. Cached by frames-dict identity
+        (bounded dict — a prefetched scene stream holds several scenes' prep
+        in flight) so detect + predict_masks on the same scene share one
+        ENet pass, one feature upload, and one projection.
         """
         cache = getattr(self, "_color_prep_cache", None)
         if cache is None:
             cache = self._color_prep_cache = {}
         hit = cache.get(id(frames))
+        prep = None
         if hit is not None and hit[0] is frames:
-            return hit[1]
+            prep = hit[1]
         from tpu3dsis.models.color import frustum_bbox_grid
 
         proj = self.det.color_projector
-        images = frames["images"]
-        v = images.shape[0]
-        vpad = ((v + 31) // 32) * 32  # bucket V to bound recompiles
-        feats_fn, _ = self._color_fns
-        feats = []
-        for i in range(0, vpad, 32):
-            blk = images[i : i + 32]
-            if blk.shape[0] < 32:
-                blk = np.concatenate(
-                    [blk, np.zeros((32 - blk.shape[0], *images.shape[1:]),
-                                   images.dtype)]  # uint8 under compact
-                )
-            feats.append(feats_fn(params, jnp.asarray(blk)))
-        feats2d = jnp.concatenate(feats, axis=0)
-        depths = np.concatenate(
-            [frames["depths"],
-             np.zeros((vpad - v, *frames["depths"].shape[1:]), np.float32)]
-        )
-        poses = np.concatenate(
-            [frames["poses"],
-             np.tile(np.eye(4, dtype=np.float32), (vpad - v, 1, 1))]
-        )
-        frusta = [
-            frustum_bbox_grid(
-                frames["poses"][i],
-                frames["world_to_grid"],
-                proj.intrinsic,
-                proj.depth_shape,
-                proj.depth_min,
-                proj.depth_max,
+        if prep is None:
+            images = frames["images"]
+            v = images.shape[0]
+            vpad = ((v + 31) // 32) * 32  # bucket V to bound recompiles
+            feats_fn, _ = self._color_fns
+            feats = []
+            for i in range(0, vpad, 32):
+                blk = images[i : i + 32]
+                if blk.shape[0] < 32:
+                    blk = np.concatenate(
+                        [blk, np.zeros((32 - blk.shape[0], *images.shape[1:]),
+                                       images.dtype)]  # uint8 under compact
+                    )
+                feats.append(feats_fn(params, jnp.asarray(blk)))
+            # fuse and store 2D features at the compute dtype: bf16 halves
+            # the projection matmul time and bytes, and is exact relative to
+            # the backbone's own input cast (max commutes with the monotone
+            # bf16 rounding; the one-hot gather only multiplies by 1.0/0.0)
+            feats2d = jnp.concatenate(feats, axis=0).astype(self._dtype)
+            depths = np.concatenate(
+                [frames["depths"],
+                 np.zeros((vpad - v, *frames["depths"].shape[1:]), np.float32)]
             )
-            for i in range(v)
-        ]
-        out = (feats2d, jnp.asarray(depths), jnp.asarray(poses), frusta)
+            poses = np.concatenate(
+                [frames["poses"],
+                 np.tile(np.eye(4, dtype=np.float32), (vpad - v, 1, 1))]
+            )
+            frusta = [
+                frustum_bbox_grid(
+                    frames["poses"][i],
+                    frames["world_to_grid"],
+                    proj.intrinsic,
+                    proj.depth_shape,
+                    proj.depth_min,
+                    proj.depth_max,
+                )
+                for i in range(v)
+            ]
+            prep = {
+                "feats2d": feats2d,
+                "depths": jnp.asarray(depths),
+                "poses": jnp.asarray(poses),
+                "frusta": frusta,
+            }
+        if (
+            scene_shape is not None
+            and self._color_resident_ok(scene_shape)
+            and prep.get("color_shape") != self._bucket_shape(scene_shape)
+        ):
+            from tpu3dsis.infer.color_volume import (
+                frustum_crop_shape,
+                make_color_volume_fn,
+                plan_view_crops,
+            )
+
+            bucket = self._bucket_shape(scene_shape)
+            crop = frustum_crop_shape(proj, bucket)
+            key = (bucket, crop)
+            build = self._color_vol_fns.get(key)
+            if build is None:
+                build = jax.jit(
+                    make_color_volume_fn(proj, bucket, crop, self._dtype)
+                )
+                self._color_vol_fns[key] = build
+            origins, view_idx = plan_view_crops(prep["frusta"], bucket, crop)
+            m = len(origins)
+            mpad = max(8, 1 << (m - 1).bit_length()) if m else 8
+            origins = np.concatenate(
+                [origins, np.zeros((mpad - m, 3), np.int32)]
+            )
+            view_idx = np.concatenate(
+                [view_idx, np.zeros((mpad - m,), np.int32)]
+            )
+            item_valid = np.arange(mpad) < m
+            prep = dict(prep)
+            prep["color"] = build(
+                prep["feats2d"], prep["depths"], prep["poses"],
+                jnp.asarray(
+                    np.asarray(frames["world_to_grid"], np.float32)
+                ),
+                jnp.asarray(origins), jnp.asarray(view_idx),
+                jnp.asarray(item_valid),
+            )
+            prep["color_shape"] = bucket
         if len(cache) >= 4:  # bound HBM held by in-flight preps
             cache.pop(next(iter(cache)))
-        cache[id(frames)] = (frames, out)
-        return out
+        cache[id(frames)] = (frames, prep)
+        return prep
 
     # --- main entry -------------------------------------------------------
     def detect(self, params, scene_data: np.ndarray, frames=None):
@@ -580,27 +764,34 @@ class SceneInference:
         origins_np = np.asarray(origins, np.int32)
 
         use_color = self._color_fns is not None and frames is not None
+        resident = False
         if use_color:
-            from tpu3dsis.models.color import (
-                select_views_for_tile,
-                shift_world_to_grid,
-            )
+            prep = self._prepare_color(params, frames, scene_data.shape[:3])
+            resident = prep.get("color_shape") == data.shape[:3]
+            if not resident:
+                from tpu3dsis.models.color import (
+                    select_views_for_tile,
+                    shift_world_to_grid,
+                )
 
-            feats2d, depths_d, poses_d, frusta = self._prepare_color(
-                params, frames
-            )
-            w2gs = np.stack(
-                [
-                    shift_world_to_grid(frames["world_to_grid"], o)
+                feats2d, depths_d, poses_d, frusta = (
+                    prep["feats2d"], prep["depths"], prep["poses"],
+                    prep["frusta"],
+                )
+                w2gs = np.stack(
+                    [
+                        shift_world_to_grid(frames["world_to_grid"], o)
+                        for o in origins
+                    ]
+                )
+                sel = [
+                    select_views_for_tile(
+                        frusta, o, self.tile, self.max_tile_views
+                    )
                     for o in origins
                 ]
-            )
-            sel = [
-                select_views_for_tile(frusta, o, self.tile, self.max_tile_views)
-                for o in origins
-            ]
-            sel_idx = np.stack([s[0] for s in sel])
-            sel_valid = np.stack([s[1] for s in sel])
+                sel_idx = np.stack([s[0] for s in sel])
+                sel_valid = np.stack([s[1] for s in sel])
 
         boxes, classes, confs = [], [], []
         bs = self.tile_batch
@@ -614,7 +805,33 @@ class SceneInference:
                 out = np.concatenate([out, pad])
             return out
 
-        if use_color:
+        if use_color and resident:
+            # resident color volume: tiles slice TSDF + color on device —
+            # one dispatch, origins are the only per-tile operand
+            def stackb(a):
+                return np.stack([padb(a, i) for i in range(0, n, bs)])
+
+            all_origins = stackb(origins_np)  # (nb, bs, 3)
+            nb = all_origins.shape[0]
+            if self.mesh is not None:
+                n_dev = self.mesh.devices.size
+                pad_b = -nb % n_dev
+                if pad_b:
+                    all_origins = np.concatenate(
+                        [all_origins,
+                         np.zeros((pad_b, *all_origins.shape[1:]),
+                                  all_origins.dtype)]
+                    )
+                nb += pad_b
+            out = self._color_res_fn(
+                params, scene_dev, jnp.asarray(all_origins), prep["color"]
+            )
+            out = jax.device_get(out)  # one bulk transfer
+            out_np = {
+                k: np.asarray(v).reshape(nb * bs, *v.shape[2:])
+                for k, v in out.items()
+            }
+        elif use_color:
             # ONE dispatch for the whole scene (lax.map over tile batches on
             # device) + one bulk download — per-batch dispatches each paid a
             # tunnel round trip, ~25x the tile compute
@@ -725,7 +942,10 @@ class SceneInference:
         """Class-aware greedy NMS across tiles (host numpy, +1 extents)."""
         if thresh is None:
             thresh = float(dict.get(self.cfg, "TPU_STITCH_NMS_THRESH", 0.25))
-        order = np.argsort(-confs)
+        # stable: equal-confidence candidates keep tile order, matching the
+        # device path's top_k tie-break (lower index first) so fused and
+        # multi-dispatch NMS pick the same member of a tied group
+        order = np.argsort(-confs, kind="stable")
         keep = []
         iou = np.asarray(
             nms_overlap(jnp.asarray(boxes), jnp.asarray(boxes))
@@ -799,15 +1019,23 @@ class SceneInference:
         box_r0 = np.round(det_out["pred_box"][:, :3]).astype(int)
         n_dev = 1 if self.mesh is None else self.mesh.devices.size
 
+        resident = False
         if use_color:
-            from tpu3dsis.models.color import (
-                select_views_for_tile,
-                shift_world_to_grid,
+            prep = self._prepare_color(params, frames, scene_data.shape[:3])
+            resident = (
+                prep.get("color_shape") == data.shape[:3]
+                and self._mask_color_res_fn is not None
             )
+            if not resident:
+                from tpu3dsis.models.color import (
+                    select_views_for_tile,
+                    shift_world_to_grid,
+                )
 
-            feats2d, depths_d, poses_d, frusta = self._prepare_color(
-                params, frames
-            )
+                feats2d, depths_d, poses_d, frusta = (
+                    prep["feats2d"], prep["depths"], prep["poses"],
+                    prep["frusta"],
+                )
 
         for which, (canvas, items, qbatch) in queues.items():
             if not items:
@@ -818,7 +1046,13 @@ class SceneInference:
             locals6 = np.stack([it[2] for it in items]).astype(np.int32)
             owns = [it[3] for it in items]
             labels = np.asarray([it[4] for it in items], np.int32)
-            if use_color:
+            if use_color and resident:
+                mask_fn = (
+                    self._mask_color_res_fn
+                    if which == "large"
+                    else self._mask_color_res_fn_small
+                )
+            elif use_color:
                 mask_fn = (
                     self._mask_color_fn
                     if which == "large"
@@ -866,7 +1100,15 @@ class SceneInference:
                         )
                     return out
 
-                if use_color:
+                if use_color and resident:
+                    got = np.asarray(
+                        mask_fn(
+                            params, scene_dev, jnp.asarray(padb(starts)),
+                            jnp.asarray(padb(locals6)),
+                            jnp.asarray(padb(labels)), prep["color"],
+                        )
+                    )[:m]
+                elif use_color:
                     got = np.asarray(
                         mask_fn(
                             params, scene_dev, jnp.asarray(padb(starts)),
@@ -909,7 +1151,7 @@ class SceneInference:
         return masks
 
     # --- fused one-dispatch scene inference -------------------------------
-    def _build_fused_fn(self):
+    def _build_fused_fn(self, use_color: bool = False):
         """Whole-scene instance segmentation as ONE XLA program.
 
         tiles -> flatten -> device class-aware stitch NMS -> in-graph mask
@@ -925,8 +1167,18 @@ class SceneInference:
         ``_build_mask_fn``. Fixed-capacity queues replace the host's dynamic
         lists (the TPU-idiomatic trade): overflow is COUNTED and returned so
         ``infer_fused`` can reconcile through the exact host-planned path.
+
+        With ``use_color`` the program takes the scene-resident projected
+        color volume as one more operand: tiles and (under MASK_USE_IMAGES)
+        mask windows dynamic_slice their color crop from it, exactly like
+        the multi-dispatch resident path.
         """
         det, cfg = self.det, self.cfg
+        mask_color = (
+            use_color
+            and det.color_projector is not None
+            and bool(dict.get(cfg, "MASK_USE_IMAGES", False))
+        )
         single = self._single
         tile = self.tile
         bs = self.tile_batch
@@ -944,7 +1196,8 @@ class SceneInference:
         from tpu3dsis.ops.mask_windows import plan_windows
         from tpu3dsis.ops.nms import nms_mask
 
-        def run_queue(params, scene_dev, plan, labels_item, canvas, chunk):
+        def run_queue(params, scene_dev, plan, labels_item, canvas, chunk,
+                      color_dev=None):
             cx, cy, cz = canvas
             ix = jnp.arange(cx)[:, None, None]
             iy = jnp.arange(cy)[None, :, None]
@@ -960,12 +1213,22 @@ class SceneInference:
                     & (iy >= local[1]) & (iy < local[4])
                     & (iz >= local[2]) & (iz < local[5])
                 ).astype(crop.dtype)
+                kwargs = {}
+                if color_dev is not None:
+                    imageft = jax.lax.dynamic_slice(
+                        color_dev, (start[0], start[1], start[2], 0),
+                        (cx, cy, cz, color_dev.shape[-1]),
+                    )
+                    kwargs["imageft"] = (
+                        imageft * region[..., None].astype(imageft.dtype)
+                    )[None]
                 probs = det.mask_backbone.apply(
                     params,
                     (crop * region[..., None])[None],
                     training=False,
                     region_mask=region[None, ..., None],
                     compute_dtype=dtype,
+                    **kwargs,
                 )
                 bits = (probs[0, :, :, :, label] >= mask_thresh).reshape(-1)
                 return jnp.packbits(bits)
@@ -984,7 +1247,8 @@ class SceneInference:
             )
             return packed.reshape(c + pad, -1)[:c]
 
-        def fused(params, scene_dev, origins, tile_valid, extent):
+        def fused(params, scene_dev, origins, tile_valid, extent,
+                  color_dev=None):
             # origins (T, 3) padded to a tile_batch multiple; tile_valid (T,)
             # marks real tiles; extent (3,) true scene size for final clip
             def one_tile(origin):
@@ -992,7 +1256,14 @@ class SceneInference:
                     scene_dev, (origin[0], origin[1], origin[2], 0),
                     (*tile, 2),
                 )
-                out = single(params, t[None])
+                if use_color:
+                    col = jax.lax.dynamic_slice(
+                        color_dev, (origin[0], origin[1], origin[2], 0),
+                        (*tile, color_dev.shape[-1]),
+                    )
+                    out = single(params, t[None], {"imageft": col})
+                else:
+                    out = single(params, t[None])
                 return {k: out[k] for k in _STITCH_KEYS}
 
             outs = jax.lax.map(
@@ -1067,6 +1338,7 @@ class SceneInference:
                     kept_box, kept_valid & ~fits, pad_shape, canvas_l,
                     large_cap, allow_drop=True,
                 )
+                mask_col = color_dev if mask_color else None
                 out["mask_small"] = {
                     "starts": plan_s["starts"],
                     "own6": plan_s["own6"],
@@ -1076,6 +1348,7 @@ class SceneInference:
                     "packed": run_queue(
                         params, scene_dev, plan_s,
                         kept_cls[plan_s["roi_idx"]], canvas_s, 8,
+                        color_dev=mask_col,
                     ),
                 }
                 out["mask_large"] = {
@@ -1087,6 +1360,7 @@ class SceneInference:
                     "packed": run_queue(
                         params, scene_dev, plan_l,
                         kept_cls[plan_l["roi_idx"]], canvas_l, 4,
+                        color_dev=mask_col,
                     ),
                 }
             return out
@@ -1096,18 +1370,27 @@ class SceneInference:
     def infer(self, params, scene_data: np.ndarray, frames=None):
         """One-dispatch scene inference: (det_out, masks) per kept box.
 
-        Geometry-only configs run detect + stitch NMS + mask FCN as ONE
-        jitted program (one tunnel round trip); results are identical to
-        ``detect`` + ``predict_masks`` (pinned by
-        ``test_fused_matches_multidispatch``). Color configs and meshes fall
-        back to the multi-dispatch path (per-tile view selection is
-        host-planned), as do rare capacity overflows — counted on device,
-        reconciled through the exact host-planned path here.
+        Geometry configs — and color configs whose scene-resident color
+        volume fits HBM (``TPU_SCENE_COLOR_RESIDENT``) — run detect +
+        stitch NMS + mask FCN as ONE jitted program (one tunnel round trip;
+        color additionally pays the per-scene prep dispatch, which a scene
+        stream prefetches); results are identical to ``detect`` +
+        ``predict_masks`` (pinned by ``test_fused_matches_multidispatch``
+        and its color leg). Meshes and over-budget color scenes fall back to
+        the multi-dispatch path, as do rare capacity overflows — counted on
+        device, reconciled through the exact host-planned path here.
         """
         self._last_fused = False  # diagnostic: did the fused program serve?
+        use_color = self._color_fns is not None and frames is not None
+        color_fusable = (
+            use_color
+            and self.mesh is None
+            and self._color_resident_ok(scene_data.shape[:3])
+        )
         if (
-            frames is not None
-            or self._color_fns is not None
+            (use_color and not color_fusable)
+            or (frames is not None) != use_color
+            or (self._color_fns is not None and frames is None)
             or self.mesh is not None
             or self.det.mask_backbone is None
             or not self.det.cfg_static["use_class"]
@@ -1118,10 +1401,25 @@ class SceneInference:
             )
         from tpu3dsis.ops.mask_windows import plan_windows_np
 
-        if getattr(self, "_fused_fn", None) is None:
-            self._fused_fn = jax.jit(self._build_fused_fn())
         params_d = self._device_params(params)
+        prep = None
+        if use_color:
+            prep = self._prepare_color(
+                params_d, frames, scene_data.shape[:3]
+            )
+            if getattr(self, "_fused_fn_color", None) is None:
+                self._fused_fn_color = jax.jit(
+                    self._build_fused_fn(use_color=True)
+                )
+        elif getattr(self, "_fused_fn", None) is None:
+            self._fused_fn = jax.jit(self._build_fused_fn())
         data, scene_dev = self._device_scene(scene_data)
+        if use_color and prep.get("color_shape") != data.shape[:3]:
+            # resident volume unavailable at this shape: exact fallback
+            out = self.detect(params, scene_data, frames=frames)
+            return out, self.predict_masks(
+                params, scene_data, out, frames=frames
+            )
         tx, ty, tz = self.tile
         xs = tile_origins(data.shape[0], tx, self.stride[0])
         ys = tile_origins(data.shape[1], ty, self.stride[1])
@@ -1137,17 +1435,28 @@ class SceneInference:
             )
         tile_valid = np.arange(n + pad) < n
         extent = np.asarray(scene_data.shape[:3], np.int32)
-        out = jax.device_get(
-            self._fused_fn(
-                params_d, scene_dev, jnp.asarray(origins),
-                jnp.asarray(tile_valid), jnp.asarray(extent),
+        if use_color:
+            out = jax.device_get(
+                self._fused_fn_color(
+                    params_d, scene_dev, jnp.asarray(origins),
+                    jnp.asarray(tile_valid), jnp.asarray(extent),
+                    prep["color"],
+                )
             )
-        )
+        else:
+            out = jax.device_get(
+                self._fused_fn(
+                    params_d, scene_dev, jnp.asarray(origins),
+                    jnp.asarray(tile_valid), jnp.asarray(extent),
+                )
+            )
         if int(out["pre_overflow"]) > 0 or int(out["det_overflow"]) > 0:
             # more confident detections than the device queues hold: the
             # host-planned path is unbounded — use it for this scene
-            det_out = self.detect(params, scene_data)
-            return det_out, self.predict_masks(params, scene_data, det_out)
+            det_out = self.detect(params, scene_data, frames=frames)
+            return det_out, self.predict_masks(
+                params, scene_data, det_out, frames=frames
+            )
         self._last_fused = True
 
         kv = out["det_valid"].astype(bool)
@@ -1210,7 +1519,9 @@ class SceneInference:
                     short.append(b)
             if short:
                 sub = {k: v[short] for k, v in det_out.items()}
-                redo = self.predict_masks(params, scene_data, sub)
+                redo = self.predict_masks(
+                    params, scene_data, sub, frames=frames
+                )
                 for b, mk in zip(short, redo):
                     masks[b] = mk
         return det_out, masks

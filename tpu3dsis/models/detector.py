@@ -204,19 +204,26 @@ def build_inference_fn(detector: Detector, cfg, scene_shape, mode="TEST"):
     def infer(params, scene, frames=None):
         """frames (only when USE_IMAGES): dict with images (V, H, W, C),
         depths (V, Hd, Wd), poses (V, 4, 4), world_to_grid (4, 4),
-        view_valid (V,) — the color volume is computed on-device."""
+        view_valid (V,) — the color volume is computed on-device. A
+        precomputed (X, Y, Z, C) projected volume crop can be passed
+        directly as frames["imageft"] instead (scene-resident color volume,
+        infer/color_volume.py)."""
         imageft = None
         if use_images and frames is not None:
-            imageft = detector.color_projector.project(
-                params,
-                frames.get("images"),
-                frames["depths"],
-                frames["poses"],
-                frames["world_to_grid"],
-                shape_arr,
-                view_valid=frames.get("view_valid"),
-                feats=frames.get("feats2d"),
-            )[None]
+            pre = frames.get("imageft")
+            if pre is not None:
+                imageft = pre[None]
+            else:
+                imageft = detector.color_projector.project(
+                    params,
+                    frames.get("images"),
+                    frames["depths"],
+                    frames["poses"],
+                    frames["world_to_grid"],
+                    shape_arr,
+                    view_valid=frames.get("view_valid"),
+                    feats=frames.get("feats2d"),
+                )[None]
         feats = detector.features(params, scene, imageft)
         rpn_out = detector.rpn_forward(params, feats)
         prop = select_proposals(
