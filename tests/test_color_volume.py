@@ -107,7 +107,7 @@ def test_planner_covers_frustum_aabbs(rng):
         )
         for p in poses
     ]
-    origins, view_idx = plan_view_crops(frusta, scene, crop)
+    origins, view_idx, owners = plan_view_crops(frusta, scene, crop)
     assert len(origins) >= 6  # at least one window per in-scene view
     for i, (bmin, bmax) in enumerate(frusta):
         lo = np.maximum(np.floor(bmin).astype(int), 0)
@@ -125,6 +125,17 @@ def test_planner_covers_frustum_aabbs(rng):
                 o[2] : o[2] + crop[2],
             ] = True
         assert covered[lo[0] : hi[0], lo[1] : hi[1], lo[2] : hi[2]].all()
+        # owner boxes partition the in-scene AABB exactly once (coverage
+        # counting must not double-increment split views)
+        owned = np.zeros(scene, np.int32)
+        for ow, vi in zip(owners, view_idx):
+            if vi != i:
+                continue
+            owned[ow[0] : ow[3], ow[1] : ow[4], ow[2] : ow[5]] += 1
+        inside = owned[lo[0] : hi[0], lo[1] : hi[1], lo[2] : hi[2]]
+        assert (inside == 1).all()
+        owned[lo[0] : hi[0], lo[1] : hi[1], lo[2] : hi[2]] = 0
+        assert (owned == 0).all()
 
 
 def _resident(proj, scene, crop, feats, depths, poses, w2g):
@@ -135,12 +146,13 @@ def _resident(proj, scene, crop, feats, depths, poses, w2g):
         )
         for p in poses
     ]
-    origins, view_idx = plan_view_crops(frusta, scene, crop)
+    origins, view_idx, owners = plan_view_crops(frusta, scene, crop)
     build = make_color_volume_fn(proj, scene, crop, jnp.float32)
     return build(
         jnp.asarray(feats), jnp.asarray(depths), jnp.asarray(poses),
         jnp.asarray(w2g), jnp.asarray(origins), jnp.asarray(view_idx),
-        jnp.ones((len(origins),), bool),
+        jnp.asarray(owners), jnp.ones((len(origins),), bool),
+        jnp.asarray(len(poses), jnp.int32),
     )
 
 

@@ -115,10 +115,14 @@ def test_fuse_views_max_and_killing(rng):
             jnp.asarray(K), vol, image_dims, 0.4, 4.0, 0.25,
         )
         vols.append(np.asarray(project_features(jnp.asarray(feats[v]), lin2d, valid)))
-    expect = np.maximum(np.maximum(vols[0], vols[1]), np.maximum(vols[2], 0))
-    np.testing.assert_allclose(fused, np.maximum(expect, 0), rtol=1e-6)
+    # reference semantics (network.py:224-235): init = view0's volume
+    # (0-filled where uncovered), later views max in — NO extra zero floor,
+    # so a voxel every view sees as negative stays negative
+    expect = np.maximum(np.maximum(vols[0], vols[1]), vols[2])
+    np.testing.assert_allclose(fused, expect, rtol=1e-6)
 
-    # kill view 1 and 2: result = max(view0 volume, 0)
+    # kill view 1 and 2: result = view0's volume verbatim (single-view
+    # pass-through, matching the reference's killing_inds drop)
     fused0 = np.asarray(
         fuse_views(
             jnp.asarray(feats), jnp.asarray(depths), jnp.asarray(poses),
@@ -126,7 +130,7 @@ def test_fuse_views_max_and_killing(rng):
             view_valid=jnp.asarray([True, False, False]),
         )
     )
-    np.testing.assert_allclose(fused0, np.maximum(vols[0], 0), rtol=1e-6)
+    np.testing.assert_allclose(fused0, vols[0], rtol=1e-6)
 
 
 def test_detection_map_half_recall():

@@ -126,6 +126,74 @@ def install_stubs():
     torch.cuda.empty_cache = lambda: None
 
 
+def compute_projection_torch04(helper, depth, camera_to_world, world_to_grid):
+    """``ProjectionHelper.compute_projection`` restored to its torch-0.4
+    semantics (reference ``lib/layer_utils/projection.py:53-126``).
+
+    The reference decomposes linear voxel indices with ``LongTensor / int``,
+    which was FLOOR division when the code was written; modern torch
+    true-divides, which zeroes the x/y voxel coordinates and makes the
+    function return garbage index lists. This re-derivation keeps every
+    other step identical (frustum bounds, round()-to-pixel, the
+    |depth - p_z| <= voxel_size consistency test, the count-prefixed index
+    format consumed by ``Projection.apply``)."""
+    import torch
+
+    dims = helper.volume_dims
+    world_to_camera = torch.inverse(camera_to_world)
+    grid_to_world = torch.inverse(world_to_grid)
+    vmin, vmax = helper.compute_frustum_bounds(world_to_grid, camera_to_world)
+    vmin = torch.clamp(vmin, min=0).float()
+    vmax = torch.minimum(
+        vmax.float(), torch.tensor([float(d) for d in dims])
+    )
+    lin = torch.arange(dims[0] * dims[1] * dims[2], dtype=torch.long)
+    z = lin // (dims[0] * dims[1])
+    tmp = lin - z * (dims[0] * dims[1])
+    y = tmp // dims[0]
+    x = torch.remainder(tmp, dims[0])
+    coords = torch.stack(
+        [x.float(), y.float(), z.float(), torch.ones_like(x, dtype=torch.float32)]
+    )
+    mask = (
+        (coords[0] >= vmin[0]) & (coords[1] >= vmin[1])
+        & (coords[2] >= vmin[2]) & (coords[0] < vmax[0])
+        & (coords[1] < vmax[1]) & (coords[2] < vmax[2])
+    )
+    if not mask.any():
+        return None
+    lin = lin[mask]
+    coords = coords[:, mask]
+    p = world_to_camera @ (grid_to_world @ coords)
+    px = (p[0] * helper.intrinsic[0][0]) / p[2] + helper.intrinsic[0][2]
+    py = (p[1] * helper.intrinsic[1][1]) / p[2] + helper.intrinsic[1][2]
+    pix = torch.round(px).long()
+    piy = torch.round(py).long()
+    valid = (
+        (pix >= 0) & (piy >= 0)
+        & (pix < helper.image_dims[0]) & (piy < helper.image_dims[1])
+    )
+    if not valid.any():
+        return None
+    ilin = piy[valid] * helper.image_dims[0] + pix[valid]
+    dvals = depth.reshape(-1)[ilin]
+    dmask = (
+        (dvals >= helper.depth_min) & (dvals <= helper.depth_max)
+        & ((dvals - p[2][valid]).abs() <= helper.voxel_size)
+    )
+    if not dmask.any():
+        return None
+    upd = lin[valid][dmask]
+    n = dims[0] * dims[1] * dims[2] + 1
+    l3 = torch.zeros(n, dtype=torch.long)
+    l2 = torch.zeros(n, dtype=torch.long)
+    l3[0] = upd.shape[0]
+    l2[0] = upd.shape[0]
+    l3[1 : 1 + upd.shape[0]] = upd
+    l2[1 : 1 + upd.shape[0]] = ilin[dmask]
+    return l3, l2
+
+
 def load_reference(cfg_updates: dict | None = None):
     """-> (network_module, backbones_module, ref_cfg) with benchmark.yml
     merged into the reference's global cfg plus `cfg_updates`."""

@@ -95,8 +95,14 @@ def compute_projection(
         # work (measured 2.9x faster, TPU v5e). Exact: each row has one 1.0
         # and the other f32 products are exactly 0.0, so the sum IS the
         # gathered value bit for bit.
+        # precision HIGHEST: the MXU's default bf16 operand rounding would
+        # quantize the gathered depths (f32 -> bf16 is a ~0.4% error at 2 m,
+        # enough to flip the boundary of the +-voxel_size acceptance test vs
+        # the reference); HIGHEST is the 3-pass bf16 split, exact for f32
         oh = jax.nn.one_hot(lin2d, w * h, dtype=jnp.float32)
-        dvals = oh @ depth.reshape(-1)
+        dvals = jnp.matmul(
+            oh, depth.reshape(-1), precision=jax.lax.Precision.HIGHEST
+        )
     else:
         dvals = depth.reshape(-1)[lin2d]
     depth_ok = (
@@ -128,7 +134,10 @@ def project_features(feat2d, lin2d, valid):
         # gradient. Measured 1.17x over the row gather on v5e.
         idx = jnp.where(valid.reshape(-1), lin2d.reshape(-1), p)
         oh = jax.nn.one_hot(idx, p + 1, dtype=flat.dtype)[:, :p]
-        vol = oh @ flat
+        # HIGHEST keeps the gather exact for f32 features (MXU default would
+        # round them to bf16); for bf16 features (the flagship compute
+        # dtype) HIGHEST is the native single pass — no cost
+        vol = jnp.matmul(oh, flat, precision=jax.lax.Precision.HIGHEST)
     else:
         vol = flat[lin2d.reshape(-1)]
         vol = jnp.where(valid.reshape(-1, 1), vol, 0.0)
@@ -147,6 +156,7 @@ def fuse_views(
     depth_max,
     voxel_size,
     view_valid=None,
+    zero_floor=None,
 ):
     """Max-fuse V views into one color volume (X, Y, Z, C).
 
@@ -156,9 +166,26 @@ def fuse_views(
     single carried volume so memory stays O(1) in V (the reference's
     TEST-mode pairwise max-pool exists for the same reason; the math is
     identical).
+
+    Semantics (network.py:224-235): the FIRST valid view's scattered volume
+    is the init, later valid views fold in with an elementwise max. Each
+    per-view volume holds 0 at voxels that view does not cover, so the max
+    floors at 0 once >= 2 views are fused — but a voxel whose every fused
+    view sees a negative feature stays negative, and a single view passes
+    through verbatim. A -inf init with a final 0-backfill (only where NO
+    valid view existed at all) reproduces that exactly; a 0 init would not.
+
+    ``zero_floor`` (bool scalar, may be traced): set when the caller fused
+    only a SUBSET of the scene's valid views into this (sub)volume — e.g. a
+    tile that skipped views whose frusta miss it. Each omitted valid view
+    contributes an all-zero volume to the reference's max, so flooring the
+    result at 0 restores exactly their effect (exact for zero-coverage
+    omissions; for cap-dropped covering views the floor is the documented
+    approximation).
     """
     c = feats2d.shape[-1]
-    init = jnp.zeros((*tuple(volume_dims), c), feats2d.dtype)
+    neg = jnp.asarray(-jnp.inf, feats2d.dtype)
+    init = jnp.full((*tuple(volume_dims), c), neg, feats2d.dtype)
     # under shard_map the scan carry must carry the same varying-axes type
     # as the body output; the body varies with world_to_grid (per tile), so
     # fold a zero-valued dependency on it into the init (no-op outside
@@ -178,10 +205,15 @@ def fuse_views(
             depth_max,
             voxel_size,
         )
-        vol = project_features(feat, lin2d, valid & ok)
-        return jnp.maximum(carry, vol), None
+        vol = project_features(feat, lin2d, valid)
+        return jnp.where(ok, jnp.maximum(carry, vol), carry), None
 
     if view_valid is None:
         view_valid = jnp.ones((feats2d.shape[0],), bool)
     out, _ = jax.lax.scan(body, init, (feats2d, depths, poses, view_valid))
-    return out
+    out = jnp.where(jnp.isneginf(out), jnp.zeros((), out.dtype), out)
+    if zero_floor is None:
+        return out
+    return jnp.where(
+        jnp.asarray(zero_floor), jnp.maximum(out, 0), out
+    )

@@ -20,6 +20,18 @@ floats through the same matrices), with compute proportional to frustum
 volume instead of scene volume x views. Tiles and mask windows then slice
 their color crops from the resident volume exactly like the geometry
 channel — no per-tile projection at detect time at all.
+
+Fusion semantics (network.py:224-235, exact): the reference initializes the
+scene volume with the FIRST valid view's scattered volume (0-filled at
+voxels that view does not cover) and elementwise-maxes later views in. So a
+voxel covered by EVERY valid view keeps a negative max-feature; any voxel
+missed by at least one view is floored at 0 (that view's 0 participates in
+the max). The crop scan reproduces this with two carries: a running max of
+covering-view features (-inf where none), and a per-voxel count of covering
+views (incremented through per-item disjoint OWNER boxes, so a view split
+across several overlapping windows is never double-counted). The final
+volume keeps the raw max exactly where count == n_views and floors at 0
+elsewhere.
 """
 
 from __future__ import annotations
@@ -63,11 +75,15 @@ def plan_view_crops(frusta, scene_shape, crop_shape):
 
     frusta: list of (bmin, bmax) grid-coord AABBs (``frustum_bbox_grid``).
     Views whose in-scene AABB fits the crop get one item; larger spans are
-    covered by several windows (overlap is harmless — max is idempotent).
-    Views with no scene overlap get no item. Returns (origins (M, 3) int32,
-    view_idx (M,) int32).
+    covered by several windows. Views with no scene overlap get no item.
+
+    Returns (origins (M, 3) int32, view_idx (M,) int32, owners (M, 6)
+    int32). ``owners`` is the [lo, hi) global-coord box each item OWNS for
+    coverage counting: per view, the owner boxes partition its in-scene
+    AABB disjointly (windows may overlap after boundary clamping; the max
+    fuse is idempotent but the count must not double-increment).
     """
-    origins, view_idx = [], []
+    origins, view_idx, owners = [], [], []
     scene = np.asarray(scene_shape, np.int64)
     crop = np.asarray(crop_shape, np.int64)
     for i, (bmin, bmax) in enumerate(frusta):
@@ -75,7 +91,7 @@ def plan_view_crops(frusta, scene_shape, crop_shape):
         hi = np.minimum(np.ceil(bmax).astype(np.int64), scene)
         if np.any(hi <= lo):
             continue
-        axis_starts = []
+        axis_items = []  # per axis: list of (window_start, own_lo, own_hi)
         for a in range(3):
             span = int(hi[a] - lo[a])
             n = max(1, -(-span // int(crop[a])))
@@ -90,41 +106,58 @@ def plan_view_crops(frusta, scene_shape, crop_shape):
                     for k in range(n)
                 }
             )
-            axis_starts.append(starts)
-        for ox in axis_starts[0]:
-            for oy in axis_starts[1]:
-                for oz in axis_starts[2]:
-                    origins.append((ox, oy, oz))
+            items = []
+            for k, s in enumerate(starts):
+                own_lo = int(lo[a]) if k == 0 else s
+                own_hi = int(hi[a]) if k + 1 == len(starts) else starts[k + 1]
+                items.append((s, own_lo, own_hi))
+            axis_items.append(items)
+        for sx, oxl, oxh in axis_items[0]:
+            for sy, oyl, oyh in axis_items[1]:
+                for sz, ozl, ozh in axis_items[2]:
+                    origins.append((sx, sy, sz))
+                    owners.append((oxl, oyl, ozl, oxh, oyh, ozh))
                     view_idx.append(i)
     if not origins:
-        return np.zeros((0, 3), np.int32), np.zeros((0,), np.int32)
+        return (
+            np.zeros((0, 3), np.int32),
+            np.zeros((0,), np.int32),
+            np.zeros((0, 6), np.int32),
+        )
     return (
         np.asarray(origins, np.int32),
         np.asarray(view_idx, np.int32),
+        np.asarray(owners, np.int32),
     )
 
 
 def make_color_volume_fn(proj, scene_shape, crop_shape, out_dtype):
     """Jittable builder: (feats2d, depths, poses, world_to_grid, origins,
-    view_idx, item_valid) -> (X, Y, Z, C) resident color volume.
+    view_idx, owners, item_valid, n_views) -> (X, Y, Z, C) resident volume.
 
-    One ``lax.scan`` over work items; the carry is the scene volume, updated
-    in place (dynamic slice -> elementwise max -> dynamic update). Padded
-    items (item_valid False) contribute zeros — a no-op under max against
-    the zero-initialized volume (reference ``Projection.forward`` zero-init,
-    projection.py:129-136).
+    One ``lax.scan`` over work items; the carries are the scene max-volume
+    (init -inf; covering views max their features in via dynamic slice ->
+    elementwise max -> dynamic update) and the per-voxel covering-view count
+    (incremented inside each item's disjoint owner box). Padded items
+    (item_valid False) touch nothing. The final select reproduces the
+    reference's first-view-init semantics exactly (see module docstring):
+    raw max where every one of the ``n_views`` valid views covers the
+    voxel, max(., 0) elsewhere.
     """
     intr = jnp.asarray(proj.intrinsic)
     sx, sy, sz = (int(s) for s in scene_shape)
     cx, cy, cz = (int(c) for c in crop_shape)
 
     def build(feats2d, depths, poses, world_to_grid, origins, view_idx,
-              item_valid):
+              owners, item_valid, n_views):
         c = feats2d.shape[-1]
-        vol = jnp.zeros((sx, sy, sz, c), out_dtype)
+        neg = jnp.asarray(-jnp.inf, out_dtype)
+        vol = jnp.full((sx, sy, sz, c), neg, out_dtype)
+        cnt = jnp.zeros((sx, sy, sz), jnp.int16)
 
         def body(carry, item):
-            origin, vi, ok = item
+            vol, cnt = carry
+            origin, vi, owner, ok = item
             lin2d, valid = compute_projection(
                 depths[vi],
                 poses[vi],
@@ -137,18 +170,41 @@ def make_color_volume_fn(proj, scene_shape, crop_shape, out_dtype):
                 proj.voxel_size,
                 coord_offset=origin,
             )
-            v = project_features(feats2d[vi], lin2d, valid & ok)
+            valid = valid & ok
+            v = project_features(feats2d[vi], lin2d, valid)
+            v = jnp.where(valid[..., None], v.astype(out_dtype), neg)
             cur = jax.lax.dynamic_slice(
-                carry, (origin[0], origin[1], origin[2], 0), (cx, cy, cz, c)
+                vol, (origin[0], origin[1], origin[2], 0), (cx, cy, cz, c)
             )
-            carry = jax.lax.dynamic_update_slice(
-                carry,
-                jnp.maximum(cur, v.astype(out_dtype)),
+            vol = jax.lax.dynamic_update_slice(
+                vol, jnp.maximum(cur, v),
                 (origin[0], origin[1], origin[2], 0),
             )
-            return carry, None
+            # coverage count, restricted to this item's owner box so a view
+            # split over overlapping windows increments each voxel once
+            gx = (origin[0] + jnp.arange(cx))[:, None, None]
+            gy = (origin[1] + jnp.arange(cy))[None, :, None]
+            gz = (origin[2] + jnp.arange(cz))[None, None, :]
+            owned = (
+                (gx >= owner[0]) & (gx < owner[3])
+                & (gy >= owner[1]) & (gy < owner[4])
+                & (gz >= owner[2]) & (gz < owner[5])
+            )
+            ccur = jax.lax.dynamic_slice(
+                cnt, (origin[0], origin[1], origin[2]), (cx, cy, cz)
+            )
+            cnt = jax.lax.dynamic_update_slice(
+                cnt,
+                ccur + (valid & owned).astype(jnp.int16),
+                (origin[0], origin[1], origin[2]),
+            )
+            return (vol, cnt), None
 
-        vol, _ = jax.lax.scan(body, vol, (origins, view_idx, item_valid))
-        return vol
+        (vol, cnt), _ = jax.lax.scan(
+            body, (vol, cnt), (origins, view_idx, owners, item_valid)
+        )
+        valb = jnp.where(jnp.isneginf(vol), jnp.zeros((), out_dtype), vol)
+        all_cover = (cnt == n_views.astype(jnp.int16))[..., None]
+        return jnp.where(all_cover, valb, jnp.maximum(valb, 0))
 
     return build

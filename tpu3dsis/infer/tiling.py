@@ -195,12 +195,12 @@ class SceneInference:
             ):
                 mcf = self._build_mask_color_fn(self.mask_canvas)
                 if mesh is not None:
-                    mcf = self._shard_over_items(mcf, n_item_args=6)
+                    mcf = self._shard_over_items(mcf, n_item_args=7)
                 self._mask_color_fn = jax.jit(mcf)
                 if self.mask_canvas_small is not None:
                     mcfs = self._build_mask_color_fn(self.mask_canvas_small)
                     if mesh is not None:
-                        mcfs = self._shard_over_items(mcfs, n_item_args=6)
+                        mcfs = self._shard_over_items(mcfs, n_item_args=7)
                     self._mask_color_fn_small = jax.jit(mcfs)
         # color path: a scene-resident projected color volume (every view
         # fused once per scene — exact reference semantics, no view cap;
@@ -265,7 +265,7 @@ class SceneInference:
 
             def tiled_color(
                 params, scene_dev, origins, w2gs, sel_idx, sel_valid,
-                feats2d, depths, poses,
+                sel_floor, feats2d, depths, poses,
             ):
                 # ALL tile batches of the scene in ONE dispatch (lax.map over
                 # batches, as the geometry path): per-batch dispatches each
@@ -274,7 +274,7 @@ class SceneInference:
                 # arg order: per-tile items first, then the replicated
                 # whole-scene operands — _shard_over_items slices the
                 # leading group across the mesh.
-                def one(origin, w2g, idx, ok):
+                def one(origin, w2g, idx, ok, floor):
                     scene = jax.lax.dynamic_slice(
                         scene_dev, (origin[0], origin[1], origin[2], 0),
                         (*self.tile, 2),
@@ -285,6 +285,7 @@ class SceneInference:
                         "poses": poses[idx],
                         "world_to_grid": w2g,
                         "view_valid": ok,
+                        "zero_floor": floor,
                     }
                     out = single(params, scene[None], frames)
                     return {k: out[k] for k in _STITCH_KEYS}
@@ -293,12 +294,12 @@ class SceneInference:
                 # tiles within a batch
                 return jax.lax.map(
                     lambda args: jax.vmap(one)(*args),
-                    (origins, w2gs, sel_idx, sel_valid),
+                    (origins, w2gs, sel_idx, sel_valid, sel_floor),
                 )
 
             if mesh is not None:
                 tiled_color = self._shard_over_items(
-                    tiled_color, n_item_args=4
+                    tiled_color, n_item_args=5
                 )
             self._color_fns = (jax.jit(feats_fn), jax.jit(tiled_color))
 
@@ -387,13 +388,13 @@ class SceneInference:
         proj = det.color_projector
 
         def mask_batch(params, scene_dev, starts, locals_, labels, w2gs,
-                       sel_idx, sel_valid, feats2d, depths, poses):
+                       sel_idx, sel_valid, sel_floor, feats2d, depths, poses):
             ix = jnp.arange(tx)[:, None, None]
             iy = jnp.arange(ty)[None, :, None]
             iz = jnp.arange(tz)[None, None, :]
 
             def one(args):
-                start, local, label, w2g, idx, ok = args
+                start, local, label, w2g, idx, ok, floor = args
                 crop = jax.lax.dynamic_slice(
                     scene_dev, (start[0], start[1], start[2], 0),
                     (tx, ty, tz, 2),
@@ -412,6 +413,7 @@ class SceneInference:
                     (tx, ty, tz),
                     view_valid=ok,
                     feats=feats2d[idx],
+                    zero_floor=floor,
                 )
                 probs = det.mask_backbone.apply(
                     params,
@@ -425,7 +427,8 @@ class SceneInference:
                 return jnp.packbits(bits)
 
             return jax.lax.map(
-                one, (starts, locals_, labels, w2gs, sel_idx, sel_valid)
+                one,
+                (starts, locals_, labels, w2gs, sel_idx, sel_valid, sel_floor),
             )
 
         return mask_batch
@@ -717,7 +720,9 @@ class SceneInference:
                     make_color_volume_fn(proj, bucket, crop, self._dtype)
                 )
                 self._color_vol_fns[key] = build
-            origins, view_idx = plan_view_crops(prep["frusta"], bucket, crop)
+            origins, view_idx, owners = plan_view_crops(
+                prep["frusta"], bucket, crop
+            )
             m = len(origins)
             mpad = max(8, 1 << (m - 1).bit_length()) if m else 8
             origins = np.concatenate(
@@ -726,15 +731,20 @@ class SceneInference:
             view_idx = np.concatenate(
                 [view_idx, np.zeros((mpad - m,), np.int32)]
             )
+            owners = np.concatenate(
+                [owners, np.zeros((mpad - m, 6), np.int32)]
+            )
             item_valid = np.arange(mpad) < m
             prep = dict(prep)
+            n_views = len(prep["frusta"])
             prep["color"] = build(
                 prep["feats2d"], prep["depths"], prep["poses"],
                 jnp.asarray(
                     np.asarray(frames["world_to_grid"], np.float32)
                 ),
                 jnp.asarray(origins), jnp.asarray(view_idx),
-                jnp.asarray(item_valid),
+                jnp.asarray(owners), jnp.asarray(item_valid),
+                jnp.asarray(n_views, jnp.int32),
             )
             prep["color_shape"] = bucket
         if len(cache) >= 4:  # bound HBM held by in-flight preps
@@ -792,6 +802,7 @@ class SceneInference:
                 ]
                 sel_idx = np.stack([s[0] for s in sel])
                 sel_valid = np.stack([s[1] for s in sel])
+                sel_floor = np.asarray([s[2] for s in sel], bool)
 
         boxes, classes, confs = [], [], []
         bs = self.tile_batch
@@ -842,6 +853,7 @@ class SceneInference:
             all_w2gs = stackb(w2gs)
             all_sel_idx = stackb(sel_idx)
             all_sel_valid = stackb(sel_valid)
+            all_sel_floor = stackb(sel_floor)
             nb = all_origins.shape[0]
             if self.mesh is not None:
                 # pad the batch axis to the mesh size; padded batches land
@@ -858,6 +870,7 @@ class SceneInference:
                     all_w2gs = padm(all_w2gs)
                     all_sel_idx = padm(all_sel_idx)
                     all_sel_valid = padm(all_sel_valid)
+                    all_sel_floor = padm(all_sel_floor)
                 nb += pad_b
             out = self._color_fns[1](
                 params,
@@ -866,6 +879,7 @@ class SceneInference:
                 jnp.asarray(all_w2gs),
                 jnp.asarray(all_sel_idx),
                 jnp.asarray(all_sel_valid),
+                jnp.asarray(all_sel_floor),
                 feats2d,
                 depths_d,
                 poses_d,
@@ -1072,6 +1086,7 @@ class SceneInference:
                 ]
                 sel_idx = np.stack([s[0] for s in sel])
                 sel_valid = np.stack([s[1] for s in sel])
+                sel_floor = np.asarray([s[2] for s in sel], bool)
             else:
                 mask_fn = (
                     self._mask_fn if which == "large" else self._mask_fn_small
@@ -1116,7 +1131,8 @@ class SceneInference:
                             jnp.asarray(padb(labels)),
                             jnp.asarray(padb(w2gs)),
                             jnp.asarray(padb(sel_idx)),
-                            jnp.asarray(padb(sel_valid)), feats2d, depths_d,
+                            jnp.asarray(padb(sel_valid)),
+                            jnp.asarray(padb(sel_floor)), feats2d, depths_d,
                             poses_d,
                         )
                     )[:m]

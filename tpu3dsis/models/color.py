@@ -62,11 +62,14 @@ class ColorProjector:
         volume_dims,
         view_valid=None,
         feats=None,
+        zero_floor=None,
     ):
         """-> (X, Y, Z, C) fused color volume for one sample/tile.
 
         Pass ``feats`` to reuse precomputed 2D features (tiled scene
         inference computes ENet once per scene, not once per tile).
+        ``zero_floor``: see :func:`fuse_views` — set when only a subset of
+        the scene's valid views is fused (per-tile view selection).
         """
         if feats is None:
             feats = self.image_features(params, images)
@@ -82,6 +85,7 @@ class ColorProjector:
             self.depth_max,
             self.voxel_size,
             view_valid=view_valid,
+            zero_floor=zero_floor,
         )
 
 
@@ -127,8 +131,12 @@ def select_views_for_tile(frusta, origin, tile_shape, max_views):
     """Indices of views whose frustum AABB intersects the tile AABB.
 
     frusta: list of (bmin, bmax). Returns (idx (max_views,), valid
-    (max_views,)) — first-come order (the nearest-image lists are already
-    coverage-ordered by the datagen, SceneSampler/main.cpp:615-724).
+    (max_views,), floor) — first-come order (the nearest-image lists are
+    already coverage-ordered by the datagen, SceneSampler/main.cpp:615-724).
+    ``floor`` is True when any scene-valid view was NOT selected (zero
+    frustum overlap with this tile, or cap-truncated): each omitted view
+    contributes an all-zero volume to the reference's over-all-views max,
+    so the fused tile must be floored at 0 (``fuse_views(zero_floor=...)``).
     """
     lo = np.asarray(origin, np.float64)
     hi = lo + np.asarray(tile_shape, np.float64)
@@ -142,4 +150,4 @@ def select_views_for_tile(frusta, origin, tile_shape, max_views):
     valid = np.zeros((max_views,), bool)
     idx[: len(sel)] = sel
     valid[: len(sel)] = True
-    return idx, valid
+    return idx, valid, len(sel) < len(frusta)

@@ -223,6 +223,7 @@ def build_inference_fn(detector: Detector, cfg, scene_shape, mode="TEST"):
                     shape_arr,
                     view_valid=frames.get("view_valid"),
                     feats=frames.get("feats2d"),
+                    zero_floor=frames.get("zero_floor"),
                 )[None]
         feats = detector.features(params, scene, imageft)
         rpn_out = detector.rpn_forward(params, feats)
