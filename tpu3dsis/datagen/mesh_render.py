@@ -40,7 +40,8 @@ class MeshRenderer:
     :func:`vertex_to_face_attr` for per-vertex annotations.
     """
 
-    def __init__(self, vertices, faces, semantics=None, instances=None):
+    def __init__(self, vertices, faces, semantics=None, instances=None,
+                 colors=None):
         self.vertices = np.asarray(vertices, np.float64)
         self.faces = np.asarray(faces, np.int64)
         self.semantics = (
@@ -49,6 +50,18 @@ class MeshRenderer:
         self.instances = (
             None if instances is None else np.asarray(instances)
         )
+        # per-face albedo (M, 3) in [0, 255] -> shaded RGB frames (the
+        # reference renders lit color via phong.hlsl for the 2D ENet stream,
+        # datagen/SUNCGScan/shaders/phong.hlsl:1-107; Lambertian with a
+        # headlight at the camera reproduces that capability)
+        self.colors = None if colors is None else np.asarray(colors, np.float64)
+        if self.colors is not None:
+            assert self.colors.shape == (len(self.faces), 3)
+            v = self.vertices
+            f = self.faces
+            n = np.cross(v[f[:, 1]] - v[f[:, 0]], v[f[:, 2]] - v[f[:, 0]])
+            norm = np.linalg.norm(n, axis=1, keepdims=True)
+            self._face_normals = n / np.maximum(norm, 1e-12)
         if self.semantics is not None:
             assert len(self.semantics) == len(self.faces)
         if self.instances is not None:
@@ -107,6 +120,20 @@ class MeshRenderer:
                 hit = fbuf >= 0
                 img[hit] = attr[fbuf[hit]]
                 out[name] = img
+        if self.colors is not None:
+            # Lambertian, headlight at the camera: two-sided |n . l| (box
+            # meshes have arbitrary winding) + ambient floor
+            cam_fwd = np.asarray(camera_to_world, np.float64)[:3, 2]
+            lambert = np.abs(self._face_normals @ cam_fwd)
+            ambient = 0.3
+            shade = ambient + (1.0 - ambient) * lambert  # (M,)
+            img = np.zeros((height, width, 3), np.uint8)
+            hit = fbuf >= 0
+            fid = fbuf[hit]
+            img[hit] = np.clip(
+                self.colors[fid] * shade[fid][:, None], 0, 255
+            ).astype(np.uint8)
+            out["color"] = img
         return out
 
     def _raster_chunk(self, ids, fx, fy, fz, x0, y0, window, width, height,

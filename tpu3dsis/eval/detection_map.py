@@ -94,11 +94,24 @@ def mask_jaccard(masks_a, masks_b):
 
 
 def unmold_masks(masks, boxes, scene_info):
-    """Paint box-crop masks into full-scene grids (evaluation.py:293-307)."""
-    full = np.zeros((len(masks), *[int(s) for s in scene_info[:3]]), np.uint8)
+    """Paint box-crop masks into full-scene grids (evaluation.py:293-307).
+
+    Boxes that poke past the scene grid are clipped and the mask cropped to
+    the surviving overlap (the reference paints unconditionally because its
+    exported data is always in-bounds; generated scenes need the guard)."""
+    dims = [int(s) for s in scene_info[:3]]
+    full = np.zeros((len(masks), *dims), np.uint8)
     for i, (m, b) in enumerate(zip(masks, boxes)):
         x1, y1, z1, x2, y2, z2 = [int(round(float(v))) for v in b[:6]]
-        full[i, x1:x2, y1:y2, z1:z2] = m
+        sx, sy, sz = max(x1, 0), max(y1, 0), max(z1, 0)
+        ex = min(x2, dims[0])
+        ey = min(y2, dims[1])
+        ez = min(z2, dims[2])
+        if ex <= sx or ey <= sy or ez <= sz:
+            continue
+        full[i, sx:ex, sy:ey, sz:ez] = m[
+            sx - x1 : ex - x1, sy - y1 : ey - y1, sz - z1 : ez - z1
+        ]
     return full
 
 

@@ -99,9 +99,19 @@ def compute_projection(
         # quantize the gathered depths (f32 -> bf16 is a ~0.4% error at 2 m,
         # enough to flip the boundary of the +-voxel_size acceptance test vs
         # the reference); HIGHEST is the 3-pass bf16 split, exact for f32
-        oh = jax.nn.one_hot(lin2d, w * h, dtype=jnp.float32)
+        # stop_gradient: depth is input data, and everything downstream of
+        # dvals is a boolean acceptance test (non-differentiable anyway).
+        # Without it, reverse-mode AD through the view scan in fuse_views
+        # saves this (N, H*W) one-hot per view as a stacked residual —
+        # 11.6 GB for a 5-view 96x48x96 color TRAIN step, a measured HBM
+        # OOM on v5e (19.9 G needed of 15.75 G).
+        oh = jax.lax.stop_gradient(
+            jax.nn.one_hot(lin2d, w * h, dtype=jnp.float32)
+        )
         dvals = jnp.matmul(
-            oh, depth.reshape(-1), precision=jax.lax.Precision.HIGHEST
+            oh,
+            jax.lax.stop_gradient(depth.reshape(-1)),
+            precision=jax.lax.Precision.HIGHEST,
         )
     else:
         dvals = depth.reshape(-1)[lin2d]
@@ -115,6 +125,49 @@ def compute_projection(
     return lin2d.reshape(shape), valid.reshape(shape)
 
 
+@jax.custom_vjp
+def _onehot_row_gather(flat, idx):
+    """``flat[idx]`` with rows ``idx == P`` yielding zeros, as a one-hot MXU
+    matmul (see compute_projection — same scalar-gather lowering issue, same
+    exactness argument: one 1.0 per row, other products exactly 0.0 — and
+    out-of-range rows hit the sliced-away dump column, reproducing
+    ``jnp.where(valid, ..., 0)``). Measured 1.17x over the row gather, v5e.
+
+    custom_vjp so reverse-mode AD saves only ``idx`` (int32, ~1.7 MB for a
+    96x48x96 chunk) instead of the (N, P) one-hot (2.3 GB f32) — with the
+    default rule the view scan in ``fuse_views`` stacks that residual per
+    view and OOMs HBM for the 5-view color TRAIN step. The backward rebuilds
+    the one-hot and contracts it from the left: oh.T @ g, EXACTLY the
+    cotangent the default rule computes (each output row is one input row,
+    so the transpose is a sum of g-rows per pixel — a scatter-add).
+    """
+    p = flat.shape[0]
+    oh = jax.nn.one_hot(idx, p + 1, dtype=flat.dtype)[:, :p]
+    # HIGHEST keeps the gather exact for f32 features (MXU default would
+    # round them to bf16); for bf16 features (the flagship compute dtype)
+    # HIGHEST is the native single pass — no cost
+    return jnp.matmul(oh, flat, precision=jax.lax.Precision.HIGHEST)
+
+
+def _onehot_row_gather_fwd(flat, idx):
+    # residuals must be jax types: a (P, 0) empty array carries flat's row
+    # count and dtype to the backward at zero memory cost
+    shape_tok = jnp.zeros((flat.shape[0], 0), flat.dtype)
+    return _onehot_row_gather(flat, idx), (idx, shape_tok)
+
+
+def _onehot_row_gather_bwd(res, g):
+    idx, shape_tok = res
+    p = shape_tok.shape[0]
+    oh = jax.nn.one_hot(idx, p + 1, dtype=shape_tok.dtype)[:, :p]
+    df = jnp.matmul(oh.T, g.astype(shape_tok.dtype),
+                    precision=jax.lax.Precision.HIGHEST)
+    return df, None
+
+
+_onehot_row_gather.defvjp(_onehot_row_gather_fwd, _onehot_row_gather_bwd)
+
+
 def project_features(feat2d, lin2d, valid):
     """Gather image features into the voxel grid.
 
@@ -126,18 +179,8 @@ def project_features(feat2d, lin2d, valid):
     flat = feat2d.reshape(-1, c)
     p = flat.shape[0]
     if p <= 4096:
-        # row gather as a one-hot MXU matmul (see compute_projection — same
-        # scalar-gather lowering issue, same exactness argument: one 1.0 per
-        # row, other products exactly 0.0 — and invalid rows index the
-        # all-zero dumped column, reproducing the jnp.where(...) zeros).
-        # Autodiff gives oh.T @ grad — the same scatter-add as the gather's
-        # gradient. Measured 1.17x over the row gather on v5e.
         idx = jnp.where(valid.reshape(-1), lin2d.reshape(-1), p)
-        oh = jax.nn.one_hot(idx, p + 1, dtype=flat.dtype)[:, :p]
-        # HIGHEST keeps the gather exact for f32 features (MXU default would
-        # round them to bf16); for bf16 features (the flagship compute
-        # dtype) HIGHEST is the native single pass — no cost
-        vol = jnp.matmul(oh, flat, precision=jax.lax.Precision.HIGHEST)
+        vol = _onehot_row_gather(flat, idx)
     else:
         vol = flat[lin2d.reshape(-1)]
         vol = jnp.where(valid.reshape(-1, 1), vol, 0.0)
