@@ -1,18 +1,21 @@
 """Scene-resident color volume (infer/color_volume.py): exactness vs the
-full-grid projection oracle (reference semantics: EVERY view max-fused,
-lib/nets/network.py:220-235), planner coverage, and the coord_offset
-projection identity."""
+reference fusion semantics (EVERY view max-fused into a full-scene volume,
+lib/nets/network.py:220-235), the fused single-gather view projection, and
+the coord_offset projection identity."""
 
 import jax.numpy as jnp
 import numpy as np
 
-from tpu3dsis.geometry.projection import compute_projection, fuse_views
-from tpu3dsis.infer.color_volume import (
-    frustum_crop_shape,
-    make_color_volume_fn,
-    plan_view_crops,
+from tpu3dsis.geometry.projection import (
+    compute_projection,
+    fuse_views,
+    merge_bf16x3,
+    project_features,
+    project_view_fused,
+    split_bf16x3,
 )
-from tpu3dsis.models.color import ColorProjector, frustum_bbox_grid
+from tpu3dsis.infer.color_volume import make_color_volume_fn
+from tpu3dsis.models.color import ColorProjector
 
 
 class _Cfg(dict):
@@ -95,68 +98,43 @@ def test_coord_offset_matches_full_grid_slice(rng):
     )
 
 
-def test_planner_covers_frustum_aabbs(rng):
-    proj = _proj()
-    _, _, poses = _frames(rng, proj, 6)
-    scene = (40, 16, 40)
-    crop = (16, 16, 16)  # smaller than the frusta: forces splitting
-    frusta = [
-        frustum_bbox_grid(
-            p, _w2g(), proj.intrinsic, proj.depth_shape,
-            proj.depth_min, proj.depth_max,
-        )
-        for p in poses
-    ]
-    origins, view_idx, owners = plan_view_crops(frusta, scene, crop)
-    assert len(origins) >= 6  # at least one window per in-scene view
-    for i, (bmin, bmax) in enumerate(frusta):
-        lo = np.maximum(np.floor(bmin).astype(int), 0)
-        hi = np.minimum(np.ceil(bmax).astype(int), scene)
-        if np.any(hi <= lo):
-            continue
-        # every voxel of AABB-intersect-scene lies in some window of view i
-        covered = np.zeros(scene, bool)
-        for o, vi in zip(origins, view_idx):
-            if vi != i:
-                continue
-            covered[
-                o[0] : o[0] + crop[0],
-                o[1] : o[1] + crop[1],
-                o[2] : o[2] + crop[2],
-            ] = True
-        assert covered[lo[0] : hi[0], lo[1] : hi[1], lo[2] : hi[2]].all()
-        # owner boxes partition the in-scene AABB exactly once (coverage
-        # counting must not double-increment split views)
-        owned = np.zeros(scene, np.int32)
-        for ow, vi in zip(owners, view_idx):
-            if vi != i:
-                continue
-            owned[ow[0] : ow[3], ow[1] : ow[4], ow[2] : ow[5]] += 1
-        inside = owned[lo[0] : hi[0], lo[1] : hi[1], lo[2] : hi[2]]
-        assert (inside == 1).all()
-        owned[lo[0] : hi[0], lo[1] : hi[1], lo[2] : hi[2]] = 0
-        assert (owned == 0).all()
-
-
-def _resident(proj, scene, crop, feats, depths, poses, w2g):
-    frusta = [
-        frustum_bbox_grid(
-            p, w2g, proj.intrinsic, proj.depth_shape,
-            proj.depth_min, proj.depth_max,
-        )
-        for p in poses
-    ]
-    origins, view_idx, owners = plan_view_crops(frusta, scene, crop)
-    build = make_color_volume_fn(proj, scene, crop, jnp.float32)
-    return build(
-        jnp.asarray(feats), jnp.asarray(depths), jnp.asarray(poses),
-        jnp.asarray(w2g), jnp.asarray(origins), jnp.asarray(view_idx),
-        jnp.asarray(owners), jnp.ones((len(origins),), bool),
-        jnp.asarray(len(poses), jnp.int32),
+def test_bf16x3_split_roundtrips_f32_exactly(rng):
+    x = np.concatenate(
+        [
+            rng.uniform(0.05, 4.5, 4096).astype(np.float32),
+            np.float32([0.0, 1.0, 0.1, 3.9999998, 2.0**-20]),
+        ]
     )
+    h1, h2, h3 = split_bf16x3(jnp.asarray(x))
+    back = np.asarray(merge_bf16x3(h1, h2, h3))
+    np.testing.assert_array_equal(back, x)
 
 
-def test_resident_volume_exact_vs_full_grid_oracle(rng):
+def test_fused_single_gather_matches_two_pass_projection(rng):
+    proj = _proj()
+    feats, depths, poses = _frames(rng, proj, 1, c=16)
+    feats = jnp.asarray(feats[0]).astype(jnp.bfloat16)
+    scene = (24, 16, 24)
+    lin2d, valid = compute_projection(
+        jnp.asarray(depths[0]), jnp.asarray(poses[0]), jnp.asarray(_w2g()),
+        jnp.asarray(proj.intrinsic), scene, proj.depth_shape,
+        proj.depth_min, proj.depth_max, proj.voxel_size,
+    )
+    ref = project_features(feats, lin2d, valid)
+    got = project_view_fused(
+        feats, jnp.asarray(depths[0]), jnp.asarray(poses[0]),
+        jnp.asarray(_w2g()), jnp.asarray(proj.intrinsic), scene,
+        proj.depth_shape, proj.depth_min, proj.depth_max, proj.voxel_size,
+    )
+    assert int(valid.sum()) > 0
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_resident_volume_exact_vs_reference_fusion_semantics(rng):
+    """The resident builder (fused single-gather path) must equal the
+    one-hot fuse_views construction — which is itself pinned against the
+    reference's pairwise view max-pool in test_color_pipeline — including
+    view_valid masking of padded views."""
     proj = _proj()
     v = 7
     feats, depths, poses = _frames(rng, proj, v)
@@ -164,32 +142,56 @@ def test_resident_volume_exact_vs_full_grid_oracle(rng):
     w2g = _w2g()
 
     oracle = fuse_views(
-        jnp.asarray(feats), jnp.asarray(depths), jnp.asarray(poses),
-        jnp.asarray(w2g), jnp.asarray(proj.intrinsic), scene,
-        proj.depth_shape, proj.depth_min, proj.depth_max, proj.voxel_size,
+        jnp.asarray(feats).astype(jnp.bfloat16), jnp.asarray(depths),
+        jnp.asarray(poses), jnp.asarray(w2g), jnp.asarray(proj.intrinsic),
+        scene, proj.depth_shape, proj.depth_min, proj.depth_max,
+        proj.voxel_size,
     )
-    assert float(jnp.abs(oracle).sum()) > 0  # scene actually hit
+    assert float(jnp.abs(oracle.astype(jnp.float32)).sum()) > 0
 
-    crop = frustum_crop_shape(proj, scene)
-    got = _resident(proj, scene, crop, feats, depths, poses, w2g)
+    build = make_color_volume_fn(proj, scene, jnp.bfloat16)
+    # pad views the way _prepare_color's 32-view bucketing does
+    pad = 3
+    feats_p = np.concatenate([feats, np.zeros((pad, *feats.shape[1:]),
+                                              feats.dtype)])
+    depths_p = np.concatenate([depths, np.zeros((pad, *depths.shape[1:]),
+                                                depths.dtype)])
+    poses_p = np.concatenate(
+        [poses, np.tile(np.eye(4, dtype=np.float32), (pad, 1, 1))]
+    )
+    got = build(
+        jnp.asarray(feats_p), jnp.asarray(depths_p), jnp.asarray(poses_p),
+        jnp.asarray(w2g), jnp.asarray(np.arange(v + pad) < v),
+    )
     np.testing.assert_array_equal(np.asarray(got), np.asarray(oracle))
 
-    # force multi-window splitting (crop far below the frustum span)
-    got_split = _resident(
-        proj, scene, (16, 16, 16), feats, depths, poses, w2g
-    )
-    np.testing.assert_array_equal(np.asarray(got_split), np.asarray(oracle))
 
-
-def test_crop_shape_bounds_frustum_aabb(rng):
+def test_view_blocking_exact_for_any_k(rng):
+    """views_per_step blocks the scan K views at a time (one carry RMW per
+    block). Max is associative and invalid views enter the block max as
+    -inf, so every K — including K that does not divide V, forcing padding
+    — must be value-identical to the sequential scan."""
     proj = _proj()
-    _, _, poses = _frames(rng, proj, 12)
-    scene = (400, 48, 400)  # large enough not to clamp
-    crop = frustum_crop_shape(proj, scene)
-    for p in poses:
-        bmin, bmax = frustum_bbox_grid(
-            p, _w2g(), proj.intrinsic, proj.depth_shape,
-            proj.depth_min, proj.depth_max,
+    v = 7
+    feats, depths, poses = _frames(rng, proj, v)
+    scene = (32, 16, 32)
+    w2g = _w2g()
+    view_valid = np.array([True, True, False, True, True, True, False])
+
+    def run(k, prefer_gather):
+        return np.asarray(
+            fuse_views(
+                jnp.asarray(feats).astype(jnp.bfloat16),
+                jnp.asarray(depths), jnp.asarray(poses), jnp.asarray(w2g),
+                jnp.asarray(proj.intrinsic), scene, proj.depth_shape,
+                proj.depth_min, proj.depth_max, proj.voxel_size,
+                view_valid=jnp.asarray(view_valid),
+                prefer_gather=prefer_gather, views_per_step=k,
+            )
         )
-        span = np.ceil(bmax) - np.floor(bmin)
-        assert (span <= np.asarray(crop)).all(), (span, crop)
+
+    ref = run(1, False)
+    assert np.abs(ref.astype(np.float32)).sum() > 0
+    for k in (2, 3, 4, 7, 8):
+        np.testing.assert_array_equal(run(k, False), ref)
+        np.testing.assert_array_equal(run(k, True), ref)

@@ -240,6 +240,12 @@ def default_config() -> Config:
     # (TPU_MAX_TILE_VIEWS cap); 'always' errors if over budget.
     c.TPU_SCENE_COLOR_RESIDENT = "auto"
     c.TPU_COLOR_VOLUME_MAX_MB = 2048
+    # views max-fused per scan step when building the resident color volume
+    # (value-exact for any K — max is associative). Default 1: on v5e the
+    # blocked scan LOST (953 ms -> 1833 ms at K=4, 90-view 192x48x192
+    # build) — vmapping the per-view gather materializes K full volumes in
+    # HBM before the block max, costing more than the carry RMW it saves.
+    c.TPU_COLOR_VIEWS_PER_STEP = 1
     # whole-scene inference mode: 'tiled' (production) or 'single_shot'
     # (reference-style one pass, for parity experiments)
     c.TPU_SCENE_MODE = "tiled"

@@ -32,6 +32,70 @@ import jax.numpy as jnp
 
 
 @functools.partial(jax.jit, static_argnames=("volume_dims", "image_dims"))
+def project_coords(
+    camera_to_world,
+    world_to_grid,
+    intrinsic,
+    volume_dims,
+    image_dims,
+    coord_offset=None,
+):
+    """Coordinate math of :func:`compute_projection` without the depth test.
+
+    Returns (lin2d (N,) int32 flat pixel index — 0 where out of image,
+    in_image (N,) bool, zc (N,) f32 camera-space depth of the voxel center).
+    """
+    w, h = image_dims
+    world_to_camera = jnp.linalg.inv(camera_to_world)
+    grid_to_world = jnp.linalg.inv(world_to_grid)
+
+    x = jnp.arange(volume_dims[0], dtype=jnp.float32)
+    y = jnp.arange(volume_dims[1], dtype=jnp.float32)
+    z = jnp.arange(volume_dims[2], dtype=jnp.float32)
+    if coord_offset is not None:
+        off = coord_offset.astype(jnp.float32)
+        x, y, z = x + off[0], y + off[1], z + off[2]
+    gx, gy, gz = jnp.meshgrid(x, y, z, indexing="ij")
+    ones = jnp.ones_like(gx)
+    coords = jnp.stack([gx, gy, gz, ones], axis=-1).reshape(-1, 4)  # (N, 4)
+
+    m = world_to_camera @ grid_to_world
+    cam = coords @ m.T  # (N, 4)
+    fx, fy = intrinsic[0, 0], intrinsic[1, 1]
+    cx, cy = intrinsic[0, 2], intrinsic[1, 2]
+    zc = cam[:, 2]
+    px = jnp.round(cam[:, 0] * fx / zc + cx).astype(jnp.int32)
+    py = jnp.round(cam[:, 1] * fy / zc + cy).astype(jnp.int32)
+
+    in_image = (px >= 0) & (py >= 0) & (px < w) & (py < h)
+    lin2d = jnp.where(in_image, py * w + px, 0)
+    return lin2d, in_image, zc
+
+
+def split_bf16x3(x):
+    """Decompose f32 ``x`` into three bf16 terms whose f32 sum (in order)
+    reconstructs x EXACTLY: each term captures the next 8 mantissa bits, the
+    slices don't overlap, so the two additions are exact (this is the same
+    decomposition the MXU's HIGHEST-precision f32 matmul uses). Lets f32
+    depth ride a bf16 gather table without losing the bits the +-voxel_size
+    acceptance test needs."""
+    x = x.astype(jnp.float32)
+    h1 = x.astype(jnp.bfloat16)
+    r1 = x - h1.astype(jnp.float32)
+    h2 = r1.astype(jnp.bfloat16)
+    r2 = r1 - h2.astype(jnp.float32)
+    h3 = r2.astype(jnp.bfloat16)
+    return h1, h2, h3
+
+
+def merge_bf16x3(h1, h2, h3):
+    return (
+        h1.astype(jnp.float32) + h2.astype(jnp.float32)
+        + h3.astype(jnp.float32)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("volume_dims", "image_dims"))
 def compute_projection(
     depth,
     camera_to_world,
@@ -64,29 +128,10 @@ def compute_projection(
       valid: (X, Y, Z) bool acceptance mask.
     """
     w, h = image_dims
-    world_to_camera = jnp.linalg.inv(camera_to_world)
-    grid_to_world = jnp.linalg.inv(world_to_grid)
-
-    x = jnp.arange(volume_dims[0], dtype=jnp.float32)
-    y = jnp.arange(volume_dims[1], dtype=jnp.float32)
-    z = jnp.arange(volume_dims[2], dtype=jnp.float32)
-    if coord_offset is not None:
-        off = coord_offset.astype(jnp.float32)
-        x, y, z = x + off[0], y + off[1], z + off[2]
-    gx, gy, gz = jnp.meshgrid(x, y, z, indexing="ij")
-    ones = jnp.ones_like(gx)
-    coords = jnp.stack([gx, gy, gz, ones], axis=-1).reshape(-1, 4)  # (N, 4)
-
-    m = world_to_camera @ grid_to_world
-    cam = coords @ m.T  # (N, 4)
-    fx, fy = intrinsic[0, 0], intrinsic[1, 1]
-    cx, cy = intrinsic[0, 2], intrinsic[1, 2]
-    zc = cam[:, 2]
-    px = jnp.round(cam[:, 0] * fx / zc + cx).astype(jnp.int32)
-    py = jnp.round(cam[:, 1] * fy / zc + cy).astype(jnp.int32)
-
-    in_image = (px >= 0) & (py >= 0) & (px < w) & (py < h)
-    lin2d = jnp.where(in_image, py * w + px, 0)
+    lin2d, in_image, zc = project_coords(
+        camera_to_world, world_to_grid, intrinsic, tuple(volume_dims),
+        (w, h), coord_offset,
+    )
     if w * h <= 4096:
         # depth lookup as a one-hot contraction: XLA lowers a scalar gather
         # of N indices from the tiny (H*W ~ 1312) depth map at ~1 row/cycle
@@ -168,23 +213,82 @@ def _onehot_row_gather_bwd(res, g):
 _onehot_row_gather.defvjp(_onehot_row_gather_fwd, _onehot_row_gather_bwd)
 
 
-def project_features(feat2d, lin2d, valid):
+def project_features(feat2d, lin2d, valid, prefer_gather=False):
     """Gather image features into the voxel grid.
 
     feat2d: (H, W, C); returns (X, Y, Z, C), 0 where invalid — matching the
     zero-initialized scatter of the reference ``Projection.forward``
     (projection.py:129-136).
+
+    ``prefer_gather`` selects the plain row gather over the one-hot MXU
+    contraction (both exact — same values): the one-hot costs N*P*C flops
+    and wins at per-tile scale (<= 16 views x 442k voxels, measured 1.17x,
+    v5e) where the gather is issue-bound; at whole-scene resident scale
+    (~90 views x >= 1M voxels) the one-hot's flops dominate the program and
+    the gather measured 1.32x faster.
     """
     c = feat2d.shape[-1]
     flat = feat2d.reshape(-1, c)
     p = flat.shape[0]
-    if p <= 4096:
+    if p <= 4096 and not prefer_gather:
         idx = jnp.where(valid.reshape(-1), lin2d.reshape(-1), p)
         vol = _onehot_row_gather(flat, idx)
     else:
         vol = flat[lin2d.reshape(-1)]
-        vol = jnp.where(valid.reshape(-1, 1), vol, 0.0)
+        vol = jnp.where(valid.reshape(-1, 1), vol,
+                        jnp.zeros((), flat.dtype))
     return vol.reshape(*lin2d.shape, c)
+
+
+def project_view_fused(
+    feat2d,
+    depth,
+    camera_to_world,
+    world_to_grid,
+    intrinsic,
+    volume_dims,
+    image_dims,
+    depth_min,
+    depth_max,
+    voxel_size,
+    coord_offset=None,
+):
+    """One view's projected volume via a SINGLE combined gather.
+
+    Value-identical to ``compute_projection`` + ``project_features`` (the
+    acceptance predicate sees the same f32 depth — bf16x3 is exact), but the
+    per-voxel depth lookup rides the feature gather as three extra bf16
+    channels instead of its own (N, H*W) one-hot contraction. At resident
+    scale that contraction was the single hottest op of the volume build
+    (396 of 953 ms for 90 views of a 192x48x192 scene, v5e per-op trace);
+    fusing it into the row gather removes it entirely (measured 1.6x).
+
+    feat2d must be bf16 (the resident volume's dtype). Returns (X, Y, Z, C).
+    """
+    c = feat2d.shape[-1]
+    lin2d, in_image, zc = project_coords(
+        camera_to_world, world_to_grid, intrinsic, tuple(volume_dims),
+        tuple(image_dims), coord_offset,
+    )
+    d1, d2, d3 = split_bf16x3(depth.reshape(-1))
+    table = jnp.concatenate(
+        [
+            feat2d.reshape(-1, c).astype(jnp.bfloat16),
+            jnp.stack([d1, d2, d3], axis=-1),
+        ],
+        axis=-1,
+    )  # (H*W, C+3)
+    rows = table[lin2d]  # one gather serves features AND depth
+    dvals = merge_bf16x3(rows[:, c], rows[:, c + 1], rows[:, c + 2])
+    valid = (
+        in_image
+        & (dvals >= depth_min)
+        & (dvals <= depth_max)
+        & (jnp.abs(dvals - zc) <= voxel_size)
+    )
+    vol = jnp.where(valid[:, None], rows[:, :c],
+                    jnp.zeros((), jnp.bfloat16))
+    return vol.reshape(*tuple(volume_dims), c)
 
 
 def fuse_views(
@@ -200,6 +304,8 @@ def fuse_views(
     voxel_size,
     view_valid=None,
     zero_floor=None,
+    prefer_gather=False,
+    views_per_step=1,
 ):
     """Max-fuse V views into one color volume (X, Y, Z, C).
 
@@ -235,8 +341,14 @@ def fuse_views(
     # shard_map, fixes "varying manual axes do not match" inside it)
     init = init + 0 * world_to_grid.reshape(-1)[0].astype(init.dtype)
 
-    def body(carry, view):
-        feat, depth, pose, ok = view
+    def project_one(feat, depth, pose, ok):
+        if prefer_gather and feat.dtype == jnp.bfloat16:
+            vol = project_view_fused(
+                feat, depth, pose, world_to_grid, intrinsic,
+                tuple(volume_dims), tuple(image_dims),
+                depth_min, depth_max, voxel_size,
+            )
+            return vol, ok
         lin2d, valid = compute_projection(
             depth,
             pose,
@@ -248,12 +360,51 @@ def fuse_views(
             depth_max,
             voxel_size,
         )
-        vol = project_features(feat, lin2d, valid)
+        vol = project_features(feat, lin2d, valid,
+                               prefer_gather=prefer_gather)
+        return vol, ok
+
+    def body(carry, view):
+        vol, ok = project_one(*view)
         return jnp.where(ok, jnp.maximum(carry, vol), carry), None
+
+    def body_block(carry, views):
+        # K views per step: invalid views enter the within-block max as
+        # -inf (the max identity), valid ones with their 0-filled per-view
+        # volumes — max is associative, so folding the block max into the
+        # carry is value-identical to K sequential steps. The carry's HBM
+        # read-modify-write is paid once per K views instead of per view,
+        # but on v5e that LOSES for the gather path (953 -> 1833 ms at K=4,
+        # 90-view 192x48x192 build): the vmapped per-view gathers
+        # materialize K full volumes in HBM before the block max. Kept
+        # (exactness-tested) for architectures where the carry RMW, not
+        # the gather, bounds the scan; default K=1.
+        vols, oks = jax.vmap(project_one)(*views)
+        vols = jnp.where(oks[:, None, None, None, None], vols, neg)
+        blk = jnp.max(vols, axis=0)
+        return jnp.maximum(carry, blk), None
 
     if view_valid is None:
         view_valid = jnp.ones((feats2d.shape[0],), bool)
-    out, _ = jax.lax.scan(body, init, (feats2d, depths, poses, view_valid))
+    k = max(1, int(views_per_step))
+    v = feats2d.shape[0]
+    if k > 1:
+        vpad = -(-v // k) * k
+        xs = (feats2d, depths, poses, view_valid)
+        if vpad != v:
+            xs = tuple(
+                jnp.concatenate(
+                    [a, jnp.zeros((vpad - v, *a.shape[1:]), a.dtype)]
+                )
+                for a in xs
+            )
+            xs = (*xs[:3], xs[3].astype(bool))
+        xs = tuple(a.reshape(vpad // k, k, *a.shape[1:]) for a in xs)
+        out, _ = jax.lax.scan(body_block, init, xs)
+    else:
+        out, _ = jax.lax.scan(
+            body, init, (feats2d, depths, poses, view_valid)
+        )
     out = jnp.where(jnp.isneginf(out), jnp.zeros((), out.dtype), out)
     if zero_floor is None:
         return out

@@ -10,201 +10,69 @@ redundant projection compute across overlapping tiles, re-paid per window in
 the mask phase.
 
 This module restores the reference's semantics the TPU way: the color
-volume is built ON DEVICE in one scan over (view, frustum-crop) work items —
-each item projects one view into a fixed-size crop of the scene grid
-(static shapes; the frustum AABB bounds where a view can ever pass the
-acceptance predicate) and max-fuses it in place via dynamic read-modify-
-write. Every view is fused, bit-identically to a full-grid projection
-(``compute_projection(coord_offset=origin)`` feeds the same coordinate
-floats through the same matrices), with compute proportional to frustum
-volume instead of scene volume x views. Tiles and mask windows then slice
-their color crops from the resident volume exactly like the geometry
-channel — no per-tile projection at detect time at all.
+volume is built ON DEVICE as one ``lax.scan`` over views
+(:func:`tpu3dsis.geometry.projection.fuse_views` — the exact construction
+the reference's pairwise max-pool computes), with each view's step a SINGLE
+combined row gather (``project_view_fused``: the f32 depth rides the bf16
+feature table as an exact bf16x3 split, so the per-voxel depth lookup costs
+no separate pass). Tiles and mask windows then slice their color crops from
+the resident volume exactly like the geometry channel — no per-tile
+projection at detect time at all.
 
-Fusion semantics (network.py:224-235, exact): the reference initializes the
-scene volume with the FIRST valid view's scattered volume (0-filled at
-voxels that view does not cover) and elementwise-maxes later views in. So a
-voxel covered by EVERY valid view keeps a negative max-feature; any voxel
-missed by at least one view is floored at 0 (that view's 0 participates in
-the max). The crop scan reproduces this with two carries: a running max of
-covering-view features (-inf where none), and a per-voxel count of covering
-views (incremented through per-item disjoint OWNER boxes, so a view split
-across several overlapping windows is never double-counted). The final
-volume keeps the raw max exactly where count == n_views and floors at 0
-elsewhere.
+Two earlier shapes of this builder were measured and rejected on v5e
+(192x48x192 scene, 90 views, per-op traces in BENCH_NOTES):
+
+- per-(view, frustum-crop) work items with dynamic-slice/max/update carries
+  and one-hot gathers: 1718 ms — the carry RMW copies the full scene per
+  item (22% of time) and the one-hot's N*P*C flops dominate; with row
+  gathers + plan-time tight crops still 1062 ms.
+- block ``lax.scatter_max`` over vmapped items: 2133 ms — the batched
+  update windows materialize in HBM.
+- full-grid view scan (this module): pure elementwise max into the carry,
+  no dynamic indexing at all — 953 ms with separate depth lookup, faster
+  with the fused gather, despite projecting every voxel for every view.
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-from tpu3dsis.geometry.projection import compute_projection, project_features
-
-
-def frustum_crop_shape(proj, scene_shape, multiple: int = 16):
-    """Static per-view crop dims covering any single view's frustum AABB.
-
-    Rotation-invariant bound: the frustum's 8 corners (image corners at
-    depth_min/depth_max in camera space) have some maximum pairwise distance
-    D; under any rigid pose the AABB span per axis is <= D, so D/voxel_size
-    (+2 for ``frustum_bbox_grid``'s +-1 slack) voxels suffice per axis.
-    Clamped to the (padded) scene dims; views whose in-scene AABB still
-    exceeds the crop (non-rigid world_to_grid) are split by the planner, so
-    exactness never depends on this bound.
-    """
-    w, h = proj.depth_shape
-    fx, fy = proj.intrinsic[0][0], proj.intrinsic[1][1]
-    cx, cy = proj.intrinsic[0][2], proj.intrinsic[1][2]
-    corners = []
-    for d in (proj.depth_min, proj.depth_max):
-        for ux, uy in ((0, 0), (w - 1, 0), (w - 1, h - 1), (0, h - 1)):
-            corners.append([d * (ux - cx) / fx, d * (uy - cy) / fy, d])
-    corners = np.asarray(corners, np.float64)
-    diam = max(
-        float(np.linalg.norm(a - b)) for a in corners for b in corners
-    )
-    bound = int(np.ceil(diam / proj.voxel_size)) + 2
-    bound = -(-bound // multiple) * multiple
-    return tuple(min(int(s), bound) for s in scene_shape)
+from tpu3dsis.geometry.projection import fuse_views
 
 
-def plan_view_crops(frusta, scene_shape, crop_shape):
-    """Host planner: one work item per (view, crop window).
+def make_color_volume_fn(proj, scene_shape, out_dtype, views_per_step=1):
+    """Jittable builder: (feats2d (V, H, W, C), depths (V, H, W),
+    poses (V, 4, 4), world_to_grid (4, 4), view_valid (V,) bool)
+    -> (X, Y, Z, C) resident volume.
 
-    frusta: list of (bmin, bmax) grid-coord AABBs (``frustum_bbox_grid``).
-    Views whose in-scene AABB fits the crop get one item; larger spans are
-    covered by several windows. Views with no scene overlap get no item.
+    Exact reference fusion semantics (network.py:224-235): first valid
+    view's zero-filled scattered volume is the init, later views fold in
+    with elementwise max — so a voxel missed by any valid view floors at 0,
+    a voxel covered by every view keeps its raw (possibly negative) max,
+    and voxels no view covers are 0.
 
-    Returns (origins (M, 3) int32, view_idx (M,) int32, owners (M, 6)
-    int32). ``owners`` is the [lo, hi) global-coord box each item OWNS for
-    coverage counting: per view, the owner boxes partition its in-scene
-    AABB disjointly (windows may overlap after boundary clamping; the max
-    fuse is idempotent but the count must not double-increment).
-    """
-    origins, view_idx, owners = [], [], []
-    scene = np.asarray(scene_shape, np.int64)
-    crop = np.asarray(crop_shape, np.int64)
-    for i, (bmin, bmax) in enumerate(frusta):
-        lo = np.maximum(np.floor(bmin).astype(np.int64), 0)
-        hi = np.minimum(np.ceil(bmax).astype(np.int64), scene)
-        if np.any(hi <= lo):
-            continue
-        axis_items = []  # per axis: list of (window_start, own_lo, own_hi)
-        for a in range(3):
-            span = int(hi[a] - lo[a])
-            n = max(1, -(-span // int(crop[a])))
-            starts = sorted(
-                {
-                    int(
-                        min(
-                            max(lo[a] + k * crop[a], 0),
-                            scene[a] - crop[a],
-                        )
-                    )
-                    for k in range(n)
-                }
-            )
-            items = []
-            for k, s in enumerate(starts):
-                own_lo = int(lo[a]) if k == 0 else s
-                own_hi = int(hi[a]) if k + 1 == len(starts) else starts[k + 1]
-                items.append((s, own_lo, own_hi))
-            axis_items.append(items)
-        for sx, oxl, oxh in axis_items[0]:
-            for sy, oyl, oyh in axis_items[1]:
-                for sz, ozl, ozh in axis_items[2]:
-                    origins.append((sx, sy, sz))
-                    owners.append((oxl, oyl, ozl, oxh, oyh, ozh))
-                    view_idx.append(i)
-    if not origins:
-        return (
-            np.zeros((0, 3), np.int32),
-            np.zeros((0,), np.int32),
-            np.zeros((0, 6), np.int32),
-        )
-    return (
-        np.asarray(origins, np.int32),
-        np.asarray(view_idx, np.int32),
-        np.asarray(owners, np.int32),
-    )
-
-
-def make_color_volume_fn(proj, scene_shape, crop_shape, out_dtype):
-    """Jittable builder: (feats2d, depths, poses, world_to_grid, origins,
-    view_idx, owners, item_valid, n_views) -> (X, Y, Z, C) resident volume.
-
-    One ``lax.scan`` over work items; the carries are the scene max-volume
-    (init -inf; covering views max their features in via dynamic slice ->
-    elementwise max -> dynamic update) and the per-voxel covering-view count
-    (incremented inside each item's disjoint owner box). Padded items
-    (item_valid False) touch nothing. The final select reproduces the
-    reference's first-view-init semantics exactly (see module docstring):
-    raw max where every one of the ``n_views`` valid views covers the
-    voxel, max(., 0) elsewhere.
+    ``views_per_step`` blocks the view scan K-at-a-time (value-exact for
+    any K; see ``fuse_views`` — config ``TPU_COLOR_VIEWS_PER_STEP``).
     """
     intr = jnp.asarray(proj.intrinsic)
-    sx, sy, sz = (int(s) for s in scene_shape)
-    cx, cy, cz = (int(c) for c in crop_shape)
+    dims = tuple(int(s) for s in scene_shape)
 
-    def build(feats2d, depths, poses, world_to_grid, origins, view_idx,
-              owners, item_valid, n_views):
-        c = feats2d.shape[-1]
-        neg = jnp.asarray(-jnp.inf, out_dtype)
-        vol = jnp.full((sx, sy, sz, c), neg, out_dtype)
-        cnt = jnp.zeros((sx, sy, sz), jnp.int16)
-
-        def body(carry, item):
-            vol, cnt = carry
-            origin, vi, owner, ok = item
-            lin2d, valid = compute_projection(
-                depths[vi],
-                poses[vi],
-                world_to_grid,
-                intr,
-                (cx, cy, cz),
-                proj.depth_shape,
-                proj.depth_min,
-                proj.depth_max,
-                proj.voxel_size,
-                coord_offset=origin,
-            )
-            valid = valid & ok
-            v = project_features(feats2d[vi], lin2d, valid)
-            v = jnp.where(valid[..., None], v.astype(out_dtype), neg)
-            cur = jax.lax.dynamic_slice(
-                vol, (origin[0], origin[1], origin[2], 0), (cx, cy, cz, c)
-            )
-            vol = jax.lax.dynamic_update_slice(
-                vol, jnp.maximum(cur, v),
-                (origin[0], origin[1], origin[2], 0),
-            )
-            # coverage count, restricted to this item's owner box so a view
-            # split over overlapping windows increments each voxel once
-            gx = (origin[0] + jnp.arange(cx))[:, None, None]
-            gy = (origin[1] + jnp.arange(cy))[None, :, None]
-            gz = (origin[2] + jnp.arange(cz))[None, None, :]
-            owned = (
-                (gx >= owner[0]) & (gx < owner[3])
-                & (gy >= owner[1]) & (gy < owner[4])
-                & (gz >= owner[2]) & (gz < owner[5])
-            )
-            ccur = jax.lax.dynamic_slice(
-                cnt, (origin[0], origin[1], origin[2]), (cx, cy, cz)
-            )
-            cnt = jax.lax.dynamic_update_slice(
-                cnt,
-                ccur + (valid & owned).astype(jnp.int16),
-                (origin[0], origin[1], origin[2]),
-            )
-            return (vol, cnt), None
-
-        (vol, cnt), _ = jax.lax.scan(
-            body, (vol, cnt), (origins, view_idx, owners, item_valid)
+    def build(feats2d, depths, poses, world_to_grid, view_valid):
+        return fuse_views(
+            feats2d.astype(out_dtype),
+            depths,
+            poses,
+            world_to_grid,
+            intr,
+            dims,
+            tuple(proj.depth_shape),
+            proj.depth_min,
+            proj.depth_max,
+            proj.voxel_size,
+            view_valid=view_valid,
+            prefer_gather=True,
+            views_per_step=views_per_step,
         )
-        valb = jnp.where(jnp.isneginf(vol), jnp.zeros((), out_dtype), vol)
-        all_cover = (cnt == n_views.astype(jnp.int16))[..., None]
-        return jnp.where(all_cover, valb, jnp.maximum(valb, 0))
 
     return build

@@ -705,46 +705,31 @@ class SceneInference:
             and self._color_resident_ok(scene_shape)
             and prep.get("color_shape") != self._bucket_shape(scene_shape)
         ):
-            from tpu3dsis.infer.color_volume import (
-                frustum_crop_shape,
-                make_color_volume_fn,
-                plan_view_crops,
-            )
+            from tpu3dsis.infer.color_volume import make_color_volume_fn
 
             bucket = self._bucket_shape(scene_shape)
-            crop = frustum_crop_shape(proj, bucket)
-            key = (bucket, crop)
-            build = self._color_vol_fns.get(key)
+            build = self._color_vol_fns.get(bucket)
             if build is None:
                 build = jax.jit(
-                    make_color_volume_fn(proj, bucket, crop, self._dtype)
+                    make_color_volume_fn(
+                        proj, bucket, self._dtype,
+                        views_per_step=int(
+                            getattr(self.cfg, "TPU_COLOR_VIEWS_PER_STEP", 1)
+                        ),
+                    )
                 )
-                self._color_vol_fns[key] = build
-            origins, view_idx, owners = plan_view_crops(
-                prep["frusta"], bucket, crop
-            )
-            m = len(origins)
-            mpad = max(8, 1 << (m - 1).bit_length()) if m else 8
-            origins = np.concatenate(
-                [origins, np.zeros((mpad - m, 3), np.int32)]
-            )
-            view_idx = np.concatenate(
-                [view_idx, np.zeros((mpad - m,), np.int32)]
-            )
-            owners = np.concatenate(
-                [owners, np.zeros((mpad - m, 6), np.int32)]
-            )
-            item_valid = np.arange(mpad) < m
+                self._color_vol_fns[bucket] = build
             prep = dict(prep)
+            # feats2d/depths/poses are padded to the 32-view bucket above;
+            # view_valid masks the padding out of the fusion
             n_views = len(prep["frusta"])
+            view_valid = np.arange(prep["depths"].shape[0]) < n_views
             prep["color"] = build(
                 prep["feats2d"], prep["depths"], prep["poses"],
                 jnp.asarray(
                     np.asarray(frames["world_to_grid"], np.float32)
                 ),
-                jnp.asarray(origins), jnp.asarray(view_idx),
-                jnp.asarray(owners), jnp.asarray(item_valid),
-                jnp.asarray(n_views, jnp.int32),
+                jnp.asarray(view_valid),
             )
             prep["color_shape"] = bucket
         if len(cache) >= 4:  # bound HBM held by in-flight preps
