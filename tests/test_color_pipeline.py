@@ -84,6 +84,7 @@ def write_chunk(tmp_path, rng, name="s0__0__.chunk", frame_ids=(0, 1, 2)):
     return path
 
 
+@pytest.mark.medium
 def test_color_dataset_and_train_step(tmp_path, rng, scannet_cfg):
     base = build_frames_dir(tmp_path, rng)
     cfg = color_cfg(scannet_cfg, tmp_path, base)
@@ -225,6 +226,7 @@ def test_color_scene_mode_through_driver(tmp_path, rng, scannet_cfg):
     assert "mAP_CLASSIFICATION" in results
 
 
+@pytest.mark.medium
 def test_resident_matches_per_tile_all_views(tmp_path, rng, scannet_cfg):
     """The scene-resident color volume path must agree with the per-tile
     re-projection path when the view cap admits every view (the two differ
@@ -265,6 +267,7 @@ def test_resident_matches_per_tile_all_views(tmp_path, rng, scannet_cfg):
                                atol=1e-5)
 
 
+@pytest.mark.medium
 def test_color_fused_matches_multidispatch(tmp_path, rng, scannet_cfg):
     """Fused one-dispatch color scene inference (tiles + stitch NMS + mask
     windows with resident color crops in ONE program) must equal the

@@ -125,6 +125,7 @@ def test_tiled_and_single_shot_find_trained_objects(rng, scannet_cfg, tmp_path):
     assert (shot["pred_class"] == 5).any()
 
 
+@pytest.mark.medium
 def test_tiled_matches_single_shot_reference_scale():
     """VERDICT r1 next-step #2: tiled mAP >= single-shot mAP - eps on a
     reference-scale scene with objects spanning the FULL anchor range,

@@ -5,6 +5,7 @@ import os
 import pickle
 
 import numpy as np
+import pytest
 
 from tpu3dsis.io import write_chunk_file
 
@@ -52,6 +53,7 @@ def tiny_cfg(scannet_cfg, tmp_path):
     return cfg
 
 
+@pytest.mark.medium
 def test_train_snapshot_resume_validate_scenes(tmp_path, rng, scannet_cfg):
     cfg = tiny_cfg(scannet_cfg, tmp_path)
     filelist, paths = make_dataset(tmp_path, rng)

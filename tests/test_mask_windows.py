@@ -9,6 +9,7 @@ equals full-canvas loss even for an 80-voxel box.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tpu3dsis.ops.mask_windows import (
     HALO,
@@ -112,6 +113,7 @@ def test_planner_drops_extras_not_primaries():
     }  # one primary per roi survives
 
 
+@pytest.mark.medium
 def test_windowed_equals_full_for_80_voxel_box(rng, scannet_cfg):
     """VERDICT round-1 done-criterion: an 80-voxel box (larger than the
     32-voxel windowed canvas) trains with EXACTLY the full-canvas loss."""
@@ -157,6 +159,7 @@ def test_windowed_equals_full_for_80_voxel_box(rng, scannet_cfg):
     np.testing.assert_allclose(losses[0], losses[1], rtol=1e-4)
 
 
+@pytest.mark.medium
 def test_small_canvas_bucketed_training_equals_unbucketed(rng, scannet_cfg):
     """TPU_MASK_CANVAS_SMALL routes small rois through a small-canvas queue;
     with enough large-queue capacity (no drops) the mask loss must equal the
@@ -209,6 +212,7 @@ def test_small_canvas_bucketed_training_equals_unbucketed(rng, scannet_cfg):
     np.testing.assert_allclose(losses[0], losses[1], rtol=1e-4)
 
 
+@pytest.mark.medium
 def test_small_canvas_bucketed_full_canvas_capacity(rng, scannet_cfg):
     """Bucketing with TPU_MASK_CANVAS == chunk dims (the degenerate
     full-volume path) respects the reduced large-queue capacity: valid

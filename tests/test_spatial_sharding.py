@@ -9,6 +9,7 @@ from jax.sharding import Mesh
 
 
 @pytest.mark.parametrize("n_shards", [2, 4, 8])
+@pytest.mark.medium
 def test_spatial_features_match_single_device(rng, scannet_cfg, n_shards):
     from tpu3dsis.models import Detector
     from tpu3dsis.parallel import spatial_features
@@ -62,6 +63,7 @@ def test_halo_exchange_edges(rng):
             np.testing.assert_array_equal(out[s, 5], shards[s + 1, 0])
 
 
+@pytest.mark.medium
 def test_spatial_single_shot_matches_single_device(rng, scannet_cfg):
     """Full pipeline with the backbone sharded over 4 devices == one device."""
     import jax.numpy as jnp

@@ -1,6 +1,7 @@
 """Target assignment vs deterministic numpy oracles of the reference math."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -210,6 +211,7 @@ def test_mask_targets_selects_fg(rng):
     np.testing.assert_allclose(sel[1], [10, 10, 10, 20, 20, 20])
 
 
+@pytest.mark.medium
 def test_mask_canvas_windowing_loss_equivalence(rng, scannet_cfg):
     """Windowed mask-canvas training must equal full-canvas losses for boxes
     that fit the window (the exact-crop equivalence)."""
@@ -248,6 +250,7 @@ def test_mask_canvas_windowing_loss_equivalence(rng, scannet_cfg):
     np.testing.assert_allclose(losses[0], losses[1], rtol=1e-4)
 
 
+@pytest.mark.medium
 def test_nonfinite_step_skips_update(rng, scannet_cfg):
     """A NaN in the input must yield step_finite=0 and UNCHANGED params/opt
     (the SURVEY 5.2 numeric guard), and a clean batch step_finite=1."""

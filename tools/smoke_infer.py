@@ -1,12 +1,19 @@
 """Drive the tpu3dsis library end-to-end through its public API:
 synthetic .chunk on disk -> SceneDataset -> jitted Detector inference."""
 import os, time
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# CPU by default (SMOKE_PLATFORM=axon to drive the real chip): the session
+# environment pins JAX_PLATFORMS=axon, a remote TPU tunnel that can stall —
+# this smoke test must always be runnable.
+os.environ["JAX_PLATFORMS"] = os.environ.get("SMOKE_PLATFORM", "cpu")
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
 import pathlib, sys; os.chdir(pathlib.Path(__file__).resolve().parent.parent)
 
 import numpy as np
 import jax, jax.numpy as jnp
+# The env var alone is overridden by the axon TPU plugin; jax.config wins
+# (same forcing as tests/conftest.py) — without it this smoke test hangs on
+# a stalled tunnel instead of running on CPU.
+jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 from tpu3dsis.utils.cache import enable_compilation_cache
 enable_compilation_cache()
 
