@@ -8,10 +8,12 @@ variant bit-matches the reference semantics first.
 """
 
 import os
+import sys
 import pathlib
 import time
 
 os.chdir(pathlib.Path(__file__).resolve().parent.parent)
+sys.path.insert(0, os.getcwd())  # tools run from any cwd
 
 import numpy as np  # noqa: E402
 

@@ -18,6 +18,7 @@ import pickle
 import sys
 
 os.chdir(pathlib.Path(__file__).resolve().parent.parent)
+sys.path.insert(0, os.getcwd())  # tools run from any cwd
 
 W, H = 328, 256  # rendered frame resolution (reference IMAGE_SHAPE)
 

@@ -21,6 +21,7 @@ import pathlib
 import sys
 
 os.chdir(pathlib.Path(__file__).resolve().parent.parent)
+sys.path.insert(0, os.getcwd())  # tools run from any cwd
 
 
 def capture_trace(fn, args, trace_dir, iters=20):

@@ -10,9 +10,11 @@ Run after tools/overfit_check.py has produced data/overfit/run checkpoints.
 """
 
 import os
+import sys
 import pathlib
 
 os.chdir(pathlib.Path(__file__).resolve().parent.parent)
+sys.path.insert(0, os.getcwd())  # tools run from any cwd
 
 
 def main():

@@ -21,11 +21,13 @@ Writes BASELINE_MEASURED.json (committed; bench.py reads it):
 
 import json
 import os
+import sys
 import pathlib
 import platform
 import time
 
 os.chdir(pathlib.Path(__file__).resolve().parent.parent)
+sys.path.insert(0, os.getcwd())  # tools run from any cwd
 
 import numpy as np  # noqa: E402
 

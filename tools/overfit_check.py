@@ -8,9 +8,11 @@ A healthy pipeline overfits these in a few hundred steps.
 
 import argparse
 import os
+import sys
 import pathlib
 
 os.chdir(pathlib.Path(__file__).resolve().parent.parent)
+sys.path.insert(0, os.getcwd())  # tools run from any cwd
 
 
 def make_chunks(out_dir, n=4, seed=0):

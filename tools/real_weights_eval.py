@@ -38,6 +38,7 @@ import sys
 import tempfile
 
 os.chdir(pathlib.Path(__file__).resolve().parent.parent)
+sys.path.insert(0, os.getcwd())  # tools run from any cwd
 sys.path.insert(0, "tools")
 
 CHUNK_SHAPE = (96, 48, 96)

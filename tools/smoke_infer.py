@@ -7,6 +7,7 @@ import os, time
 os.environ["JAX_PLATFORMS"] = os.environ.get("SMOKE_PLATFORM", "cpu")
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
 import pathlib, sys; os.chdir(pathlib.Path(__file__).resolve().parent.parent)
+sys.path.insert(0, os.getcwd())  # tools run from any cwd
 
 import numpy as np
 import jax, jax.numpy as jnp

@@ -18,9 +18,11 @@ Run on the TPU: ``python tools/tiling_parity_check.py --steps 700``.
 
 import argparse
 import os
+import sys
 import pathlib
 
 os.chdir(pathlib.Path(__file__).resolve().parent.parent)
+sys.path.insert(0, os.getcwd())  # tools run from any cwd
 
 SOFA, CHAIR, TABLE = 6, 5, 7  # nyu40 ids (mapped to consecutive by cfg)
 

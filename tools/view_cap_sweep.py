@@ -20,6 +20,7 @@ import pickle
 import sys
 
 os.chdir(pathlib.Path(__file__).resolve().parent.parent)
+sys.path.insert(0, os.getcwd())  # tools run from any cwd
 
 
 def eval_scenes(si, params, records, cfg, thresh):
