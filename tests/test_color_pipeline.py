@@ -167,6 +167,7 @@ def test_color_scene_inference(tmp_path, rng, scannet_cfg):
     np.testing.assert_allclose(out["pred_conf"], out4["pred_conf"], atol=1e-5)
 
 
+@pytest.mark.medium  # ~160 s: the default tier's whole budget (r3 #10)
 def test_color_scene_mode_through_driver(tmp_path, rng, scannet_cfg):
     """Whole-scene color flow through run_scenes: the dataset reloads
     world2grid from the frames dir (scene mode), frames feed the tiled

@@ -506,3 +506,102 @@ def test_fuse_scene_debug_mesh(tmp_path):
     z = got["vertex"]["z"]
     assert len(z) > 20
     assert np.abs(z - 1.0).max() < 0.08  # within ~1.5 voxels of the wall
+
+
+def _write_sens(path, frames):
+    """Minimal ScanNet .sens writer (the public SensorData binary layout
+    prepare_2d.SensFile parses) for synthetic frame fixtures."""
+    import io
+    import struct
+    import zlib
+
+    from PIL import Image
+
+    with open(path, "wb") as f:
+        f.write(struct.pack("<I", 4))
+        name = b"synth"
+        f.write(struct.pack("<Q", len(name)))
+        f.write(name)
+        eye = np.eye(4, dtype=np.float32)
+        for _ in range(4):
+            f.write(eye.tobytes())
+        f.write(struct.pack("<ii", 1, 2))  # compression tags (reader skips)
+        h, w = frames[0][1].shape[:2]
+        dh, dw = frames[0][2].shape
+        f.write(struct.pack("<II", w, h))
+        f.write(struct.pack("<II", dw, dh))
+        f.write(struct.pack("<f", 1000.0))
+        f.write(struct.pack("<Q", len(frames)))
+        for pose, color, depth in frames:
+            f.write(pose.astype(np.float32).tobytes())
+            f.write(struct.pack("<QQ", 0, 0))  # timestamps
+            buf = io.BytesIO()
+            Image.fromarray(color).save(buf, format="JPEG")
+            cj = buf.getvalue()
+            dz = zlib.compress(depth.tobytes())
+            f.write(struct.pack("<QQ", len(cj), len(dz)))
+            f.write(cj)
+            f.write(dz)
+
+
+def test_prepare_2d_label_export_roundtrip(tmp_path, rng):
+    """.sens + raw label pngs -> export_frames(label_dir=...) -> the mapped
+    label frames USE_IMAGES_GT runs read back via io.frames
+    (prepare_2d_data.py:38-56,84-108 parity: nearest resize + raw->nyu40
+    remap, unmapped ids pass through)."""
+    from PIL import Image
+
+    from tpu3dsis.datagen.prepare_2d import (
+        export_frames,
+        map_label_image,
+        read_scannet_label_mapping,
+    )
+
+    n_frames, W, H = 5, 32, 24
+    frames = []
+    for i in range(n_frames):
+        pose = np.eye(4, dtype=np.float32)
+        pose[2, 3] = float(i)
+        color = rng.randint(0, 255, (H, W, 3)).astype(np.uint8)
+        depth = (rng.rand(12, 16) * 4000).astype(np.uint16)
+        frames.append((pose, color, depth))
+    sens_path = str(tmp_path / "scene.sens")
+    _write_sens(sens_path, frames)
+
+    # raw label pngs for every raw frame index (scene*/label-filt layout)
+    label_dir = tmp_path / "label-filt"
+    label_dir.mkdir()
+    raws = {}
+    for i in range(n_frames):
+        raw = rng.choice([0, 3, 7, 1200], size=(H, W)).astype(np.uint16)
+        Image.fromarray(raw).save(str(label_dir / f"{i}.png"))
+        raws[i] = raw
+
+    tsv = tmp_path / "labels.combined.tsv"
+    tsv.write_text("id\traw_category\tnyu40id\n3\tchair\t5\n7\ttable\t39\n"
+                   "1200\tcustom\t\n")
+    mapping = read_scannet_label_mapping(str(tsv))
+    assert mapping == {3: 5, 7: 39, 1200: 0}
+
+    out = tmp_path / "frames" / "scene"
+    export_frames(sens_path, str(out), frame_skip=2, image_size=(W, H),
+                  label_dir=str(label_dir), label_mapping=mapping)
+
+    for i in (0, 2, 4):
+        for sub, ext in (("color", "jpg"), ("depth", "png"),
+                         ("pose", "txt"), ("label", "png")):
+            assert (out / sub / f"{i}.{ext}").exists(), (i, sub)
+        got = np.array(Image.open(str(out / "label" / f"{i}.png")))
+        # same size => nearest resize is identity; remap per the tsv
+        np.testing.assert_array_equal(got, map_label_image(raws[i], mapping))
+        assert got.dtype == np.uint8
+        assert set(np.unique(got)) <= {0, 5, 39}
+    assert not (out / "label" / "1.png").exists()  # frame_skip respected
+
+    # downstream round trip: io/frames.py::load_label_image reads the export
+    from tpu3dsis.io.frames import load_label_image
+
+    img = load_label_image(str(out / "label" / "0.png"), (W, H),
+                           mapping={5: 2, 39: 4})
+    assert img.shape == (H, W, 1)
+    assert set(np.unique(img)) <= {0.0, 2.0, 4.0}

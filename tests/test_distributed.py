@@ -101,6 +101,110 @@ print(f"RANK{pid} OK total_loss={total:.6f}", flush=True)
 """
 
 
+@pytest.mark.medium
+def test_multistep_dp_matches_single_device_trajectory():
+    """N steps of 8-device DP training == the single-device trajectory.
+
+    Exact by construction (VERDICT r3 #5): the mesh step folds the step key
+    by `axis_index('data')` then splits once per local sample
+    (trainstep.py::step_local / batched_loss), so a single-device run fed
+    the SAME pre-folded per-sample keys must produce the same averaged
+    gradients — pmean over 8 one-sample shards == mean over the 8 samples.
+    Pins that multi-chip DP training follows the single-device trajectory
+    beyond one step (params AND loss curve), not just that one step runs.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from tpu3dsis.models import Detector
+    from tpu3dsis.train.solver import make_solver
+    from tpu3dsis.train.trainstep import (
+        TrainState,
+        apply_step_update,
+        build_loss_fn,
+        build_train_step,
+    )
+
+    import __graft_entry__ as entry
+
+    cfg = entry._scannet_cfg(tiny=True)
+    shape = (16, 16, 16)
+    n = 8
+    det = Detector(cfg, anchor_dir="experiments/anchors")
+    params0 = det.init_params(jax.random.PRNGKey(0))
+
+    rng = np.random.RandomState(3)
+    gt = np.full((n, cfg.TPU_MAX_GT, 7), -1e4, np.float32)
+    gt[:, :, 3:6] = -1e4 + 1
+    gt[:, :, 6] = 0
+    canvas = np.zeros((n, *shape), np.float32)
+    for i in range(n):  # distinct geometry per shard: shards must disagree
+        x0, y0, z0 = rng.randint(0, 5, 3)
+        dx, dy, dz = rng.randint(5, 9, 3)
+        gt[i, 0] = [x0, y0, z0, x0 + dx, y0 + dy, z0 + dz, 1 + i % 3]
+        canvas[i, x0:x0 + dx, y0:y0 + dy, z0:z0 + dz] = 1.0
+    batch = {
+        "data": rng.randn(n, *shape, 2).astype(np.float32),
+        "gt_box": gt,
+        "gt_valid": np.pad(np.ones((n, 1), bool),
+                           ((0, 0), (0, cfg.TPU_MAX_GT - 1))),
+        "mask_canvas": canvas,
+    }
+
+    n_steps = 3
+    base = jax.random.PRNGKey(7)
+    step_keys = [jax.random.fold_in(base, s) for s in range(n_steps)]
+
+    # --- 8-device mesh trajectory ---------------------------------------
+    mesh = Mesh(np.array(jax.devices()[:n]), axis_names=("data",))
+    opt_init, mesh_step = build_train_step(det, cfg, shape, mesh=mesh)
+    sharding = NamedSharding(mesh, P("data"))
+    batch_d = {k: jax.device_put(v, sharding) for k, v in batch.items()}
+    state = TrainState(params=params0, opt=opt_init(params0))
+    mesh_losses = []
+    for s in range(n_steps):
+        state, metrics = mesh_step(state, batch_d, step_keys[s])
+        mesh_losses.append(float(metrics["total_loss"]))
+    mesh_params = jax.device_get(state.params)
+
+    # --- single-device trajectory with the pre-folded keys ---------------
+    loss_fn = build_loss_fn(det, cfg, shape)
+    _, opt_update = make_solver(cfg, det.param_names())
+
+    @jax.jit
+    def ref_step(state, batch, key):
+        def mean_loss(params):
+            keys = jax.vmap(
+                lambda i: jax.random.split(jax.random.fold_in(key, i), 1)[0]
+            )(jnp.arange(n, dtype=jnp.uint32))
+            totals, metrics = jax.vmap(
+                lambda s, k: loss_fn(params, s, k), in_axes=(0, 0)
+            )(batch, keys)
+            return jnp.mean(totals), {
+                k: jnp.mean(v) for k, v in metrics.items()
+            }
+
+        (_, metrics), grads = jax.value_and_grad(mean_loss, has_aux=True)(
+            state.params
+        )
+        return apply_step_update(state, grads, metrics, opt_update)
+
+    state1 = TrainState(params=params0, opt=opt_init(params0))
+    ref_losses = []
+    for s in range(n_steps):
+        state1, metrics1 = ref_step(state1, batch, step_keys[s])
+        ref_losses.append(float(metrics1["total_loss"]))
+    ref_params = jax.device_get(state1.params)
+
+    np.testing.assert_allclose(mesh_losses, ref_losses, rtol=1e-6)
+    for k in ref_params:
+        np.testing.assert_allclose(
+            mesh_params[k], ref_params[k], rtol=1e-5, atol=1e-7,
+            err_msg=f"param {k} diverged between DP-8 and single-device",
+        )
+
+
 def _free_port():
     s = socket.socket()
     s.bind(("127.0.0.1", 0))

@@ -27,7 +27,6 @@ import time
 
 os.chdir(pathlib.Path(__file__).resolve().parent.parent)
 sys.path.insert(0, os.getcwd())  # tools run from any cwd
-sys.path.insert(0, ".")
 
 import numpy as np
 

@@ -198,6 +198,16 @@ def main():
             args.fixture,
             **{k: v.astype(np.float16) for k, v in params.items()},
         )
+        from tpu3dsis.utils.provenance import write_provenance
+
+        write_provenance(
+            args.fixture,
+            command=(f"python tools/color_loop_check.py --steps {args.steps}"
+                     f" --lr {args.lr} --max-views {args.max_views}"),
+            cfg=cfg,
+            args={"steps": args.steps, "lr": args.lr,
+                  "max_views": args.max_views, "seed": 0},
+        )
         print(f"[color-loop] fixture saved: {args.fixture}")
 
     # --- eval: tiled color scene inference + chunk-style mAP --------------

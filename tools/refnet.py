@@ -194,9 +194,11 @@ def compute_projection_torch04(helper, depth, camera_to_world, world_to_grid):
     return l3, l2
 
 
-def load_reference(cfg_updates: dict | None = None):
-    """-> (network_module, backbones_module, ref_cfg) with benchmark.yml
-    merged into the reference's global cfg plus `cfg_updates`."""
+def load_reference(cfg_updates: dict | None = None,
+                   cfg_file: str = "experiments/cfgs/ScanNet/benchmark.yml",
+                   num_classes: int = 19):
+    """-> (network_module, backbones_module, ref_cfg) with `cfg_file` (the
+    reference's own copy) merged into its global cfg plus `cfg_updates`."""
     install_stubs()
     if REF not in sys.path:
         sys.path.insert(0, REF)
@@ -206,7 +208,7 @@ def load_reference(cfg_updates: dict | None = None):
     # merge the same file manually (flat keys + the TRAIN/TEST sub-dicts)
     import yaml
 
-    with open(os.path.join(REF, "experiments/cfgs/ScanNet/benchmark.yml")) as f:
+    with open(os.path.join(REF, cfg_file)) as f:
         y = yaml.safe_load(f)
     for k, v in y.items():
         if isinstance(v, dict):
@@ -215,8 +217,8 @@ def load_reference(cfg_updates: dict | None = None):
         else:
             rc[k] = v
     rc.USE_IMAGES = False
-    rc.NUM_CLASSES = 19
-    rc.NORMALIZE_WEIGHTS = [1.0] * 19
+    rc.NUM_CLASSES = num_classes
+    rc.NORMALIZE_WEIGHTS = [1.0] * num_classes
     for k, v in (cfg_updates or {}).items():
         rc[k] = v
     # backbones FIRST: network.py circularly imports lib.nets.backbones and

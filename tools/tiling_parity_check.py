@@ -194,6 +194,15 @@ def main():
             args.fixture,
             **{k: v.astype(np.float16) for k, v in params.items()},
         )
+        from tpu3dsis.utils.provenance import write_provenance
+
+        write_provenance(
+            args.fixture,
+            command=(f"python tools/tiling_parity_check.py "
+                     f"--steps {args.steps} --lr {args.lr}"),
+            cfg=cfg,
+            args={"steps": args.steps, "lr": args.lr, "seed": 0},
+        )
         print(f"[tiling-parity] fixture saved: {args.fixture}")
 
     rng = np.random.RandomState(7)

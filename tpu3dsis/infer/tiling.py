@@ -1526,3 +1526,71 @@ class SceneInference:
                 for b, mk in zip(short, redo):
                     masks[b] = mk
         return det_out, masks
+
+    def device_seconds(self, params, scene_data: np.ndarray, frames=None,
+                       iters: int = 6):
+        """Device-bound seconds per fused scene program (scan-amortized).
+
+        Times ONLY the on-device compute of the fused one-dispatch program
+        (tiles + stitch NMS + mask FCN windows) by chaining `iters`
+        executions inside one jitted ``lax.scan`` with a carried data
+        dependency — the tunnel-independent capability figure. Excludes
+        host<->device transfer, per-scene color prep, and host mask unpack,
+        all of which a degraded axon tunnel can inflate arbitrarily (BENCH
+        r3: identical code captured at 34 vs 170 scenes/min). bench.py
+        reports this alongside the wall-clock stream rate and uses it to
+        flag stall-degenerate passes.
+        """
+        use_color = self._color_fns is not None and frames is not None
+        params_d = self._device_params(params)
+        color_dev = None
+        if use_color:
+            prep = self._prepare_color(params_d, frames, scene_data.shape[:3])
+            color_dev = prep.get("color")
+            if color_dev is None:
+                raise ValueError(
+                    "device_seconds requires the resident color volume"
+                )
+        data, scene_dev = self._device_scene(scene_data)
+        tx, ty, tz = self.tile
+        xs = tile_origins(data.shape[0], tx, self.stride[0])
+        ys = tile_origins(data.shape[1], ty, self.stride[1])
+        zs = tile_origins(data.shape[2], tz, self.stride[2])
+        origins = np.asarray(
+            [(ox, oy, oz) for ox in xs for oy in ys for oz in zs], np.int32
+        )
+        n = len(origins)
+        pad = -n % self.tile_batch
+        if pad:
+            origins = np.concatenate([origins, np.zeros((pad, 3), np.int32)])
+        tile_valid = jnp.asarray(np.arange(n + pad) < n)
+        origins = jnp.asarray(origins)
+        extent = jnp.asarray(np.asarray(scene_data.shape[:3], np.int32))
+        fused = self._build_fused_fn(use_color=use_color)
+
+        def repeated(scene_dev):
+            def body(c, _):
+                sd = scene_dev + (c * 1e-20).astype(scene_dev.dtype)
+                if use_color:
+                    out = fused(params_d, sd, origins, tile_valid, extent,
+                                color_dev)
+                else:
+                    out = fused(params_d, sd, origins, tile_valid, extent)
+                r = jnp.float32(jnp.sum(out["pred_conf"]))
+                if "mask_small" in out:
+                    r = r + jnp.float32(
+                        jnp.sum(out["mask_small"]["packed"])
+                        + jnp.sum(out["mask_large"]["packed"])
+                    )
+                return r, ()
+
+            c, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
+            return c
+
+        f = jax.jit(repeated)
+        float(f(scene_dev))  # compile + drain
+        import time as _time
+
+        t0 = _time.perf_counter()
+        float(f(scene_dev))
+        return (_time.perf_counter() - t0) / iters

@@ -390,6 +390,27 @@ def getattr_cfg(cfg, key, default):
         return default
 
 
+def apply_step_update(state: TrainState, grads, metrics, opt_update):
+    """SGD update + non-finite guard (shared by step_local and the DP
+    equivalence test, which re-derives the 8-device trajectory on one
+    device from pre-folded keys — tests/test_distributed.py)."""
+    finite = jnp.isfinite(metrics["total_loss"])
+    for g in jax.tree.leaves(grads):
+        finite = finite & jnp.all(jnp.isfinite(g))
+    updates, opt = opt_update(grads, state.opt, state.params)
+    params = apply_updates(state.params, updates)
+    params = jax.tree.map(
+        lambda new, old: jnp.where(finite, new, old),
+        params, state.params,
+    )
+    opt = jax.tree.map(
+        lambda new, old: jnp.where(finite, new, old), opt, state.opt
+    )
+    metrics = dict(metrics)
+    metrics["step_finite"] = finite.astype(jnp.float32)
+    return TrainState(params=params, opt=opt), metrics
+
+
 def build_train_step(detector: Detector, cfg, scene_shape, mesh=None):
     """Returns (init_state(params), step(state, batch, key) -> state, metrics).
 
@@ -421,20 +442,7 @@ def build_train_step(detector: Detector, cfg, scene_shape, mesh=None):
         # Numeric guard (SURVEY 5.2): a non-finite loss/grad skips the update
         # instead of silently poisoning params; surfaced via the step_finite
         # metric so the training loop can count/report occurrences.
-        finite = jnp.isfinite(metrics["total_loss"])
-        for g in jax.tree.leaves(grads):
-            finite = finite & jnp.all(jnp.isfinite(g))
-        updates, opt = opt_update(grads, state.opt, state.params)
-        params = apply_updates(state.params, updates)
-        params = jax.tree.map(
-            lambda new, old: jnp.where(finite, new, old),
-            params, state.params,
-        )
-        opt = jax.tree.map(
-            lambda new, old: jnp.where(finite, new, old), opt, state.opt
-        )
-        metrics["step_finite"] = finite.astype(jnp.float32)
-        return TrainState(params=params, opt=opt), metrics
+        return apply_step_update(state, grads, metrics, opt_update)
 
     if mesh is None:
         return opt_init, jax.jit(step_local)
