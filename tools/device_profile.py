@@ -88,10 +88,13 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--top", type=int, default=10)
     p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--batch", type=int, default=0,
+                   help="profile the bench.py batched program (vmap over "
+                        "BATCH chunks, bf16 compute) instead of entry()")
     p.add_argument("--trace-dir", default="/tmp/tpu3dsis_profile")
     args = p.parse_args()
 
-    import numpy as np  # noqa: F401
+    import numpy as np
 
     import jax
 
@@ -101,8 +104,32 @@ def main():
 
     import __graft_entry__ as g
 
-    fn, ex = g.entry()
-    jitted = jax.jit(fn)
+    if args.batch:
+        # the exact program bench.py::bench_chunks times (minus the scan
+        # wrapper, which only amortizes dispatch): vmapped TEST inference
+        # over a batch of chunks in bf16
+        from tpu3dsis.models import Detector, build_inference_fn
+
+        cfg = g._scannet_cfg()
+        cfg.TPU_COMPUTE_DTYPE = "bfloat16"
+        det = Detector(cfg, anchor_dir="experiments/anchors")
+        params = det.init_params(jax.random.PRNGKey(0))
+        shape = (96, 48, 96)
+        single = build_inference_fn(det, cfg, shape, mode="TEST")
+
+        def batched(params, scenes):
+            out = jax.vmap(lambda s: single(params, s[None]))(scenes)
+            return out["pred_conf"].sum() + out["rois"].sum()
+
+        rng = np.random.RandomState(0)
+        scenes = jax.numpy.asarray(
+            rng.randn(args.batch, *shape, 2).astype(np.float32)
+        )
+        jitted, ex = jax.jit(batched), (params, scenes)
+        tag = f"chunk detect batch={args.batch} bf16 (bench program)"
+    else:
+        fn, ex = g.entry()
+        jitted, tag = jax.jit(fn), "chunk detect (entry())"
     events = capture_trace(
         jitted, ex, os.path.join(args.trace_dir, "chunk"), args.iters
     )
@@ -115,8 +142,7 @@ def main():
         )
         print(f"no device-op events found; thread tracks: {names}")
         return 1
-    print_table("chunk detect (entry())", per_iter, count, total_us,
-                args.iters, args.top)
+    print_table(tag, per_iter, count, total_us, args.iters, args.top)
     return 0
 
 
