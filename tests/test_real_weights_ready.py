@@ -1,12 +1,14 @@
-"""One-command real-weights readiness rehearsal (VERDICT r2 next-step #8).
+"""One-command real-weights readiness rehearsal (VERDICT r2 #8, r3 #7).
 
-Runs ``tools/real_weights_eval.py --dry-run`` as a subprocess: the
-reference network's RANDOM state_dict is saved as a genuine ``.pth``,
-converted by ``train/checkpoint.py``, parity-checked against the
-reference's own torch TEST branch with those weights, and evaluated on a
-synthetic whole scene — the identical code path that will run the moment
-the released checkpoints (``/root/reference/README.md:59-65``) and real
-ScanNet data land."""
+Runs ``tools/real_weights_eval.py --dry-run`` as a subprocess: one leg per
+shipped released-checkpoint config (``/root/reference/README.md:120-168``).
+Leg 0 (ScanNet benchmark.yml): the reference network's RANDOM state_dict
+saved as a genuine ``.pth``, converted by ``train/checkpoint.py``,
+parity-checked against the reference's own torch TEST branch with those
+weights, evaluated on a synthetic whole scene, and pushed through the
+vox2mesh benchmark export. Legs 1/2 (ScanNet/SUNCG rpn_class_mask_5.yml):
+the FULL color branch — random reference ENet ``.pth`` + synthetic shaded
+RGB/depth/pose frames — through the identical stages."""
 
 import os
 import subprocess
@@ -15,19 +17,44 @@ import sys
 import pytest
 
 
-@pytest.mark.slow
-def test_real_weights_dry_run_ready():
+def _run_leg(leg):
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     proc = subprocess.run(
-        [sys.executable, "tools/real_weights_eval.py", "--dry-run"],
+        [sys.executable, "tools/real_weights_eval.py", "--dry-run",
+         "--dry-run-leg", str(leg)],
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         env=env, capture_output=True, text=True, timeout=3600,
     )
     sys.stdout.write(proc.stdout[-3000:])
     sys.stderr.write(proc.stderr[-2000:])
-    assert proc.returncode == 0, "real-weights rehearsal NOT READY"
+    assert proc.returncode == 0, f"real-weights leg {leg} NOT READY"
     assert "[real-weights] READY" in proc.stdout
+    return proc.stdout
+
+
+@pytest.mark.slow
+def test_real_weights_dry_run_ready_geometry_and_export():
+    out = _run_leg(0)
     # every stage actually ran (none silently skipped)
     for stage in ("convert: PASS", "parity/proposals: PASS",
-                  "parity/classifier: PASS", "eval: PASS"):
-        assert stage in proc.stdout, f"stage missing: {stage}"
+                  "parity/classifier: PASS", "eval: PASS",
+                  "benchmark-export: PASS"):
+        assert stage in out, f"stage missing: {stage}"
+
+
+@pytest.mark.slow
+def test_real_weights_dry_run_ready_scannet_color():
+    out = _run_leg(1)
+    for stage in ("convert: PASS", "parity/proposals: PASS",
+                  "parity/classifier: PASS", "parity/enet: PASS",
+                  "eval: PASS"):
+        assert stage in out, f"stage missing: {stage}"
+
+
+@pytest.mark.slow
+def test_real_weights_dry_run_ready_suncg_color():
+    out = _run_leg(2)
+    for stage in ("convert: PASS", "parity/proposals: PASS",
+                  "parity/classifier: PASS", "parity/enet: PASS",
+                  "eval: PASS"):
+        assert stage in out, f"stage missing: {stage}"

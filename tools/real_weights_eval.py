@@ -147,8 +147,15 @@ def stage_parity(args, cfg, det, params):
             INTRINSIC=[list(r) for r in np.asarray(cfg.INTRINSIC)],
             VOXEL_SIZE=float(cfg.VOXEL_SIZE),
         )
-    network_mod, backbones_mod, rc = refnet.load_reference(updates)
-    net = backbones_mod.ScanNet_Backbone()
+    network_mod, backbones_mod, rc = refnet.load_reference(
+        updates, cfg_file=args.cfg, num_classes=int(cfg.NUM_CLASSES)
+    )
+    # align the proposal-stage knobs with OUR (possibly dry-run-reduced)
+    # config — identical values on real runs, required for count parity
+    rc.TEST.RPN_PRE_NMS_TOP_N = int(cfg.TEST.RPN_PRE_NMS_TOP_N)
+    rc.TEST.RPN_POST_NMS_TOP_N = int(cfg.TEST.RPN_POST_NMS_TOP_N)
+    rc.TEST.RPN_NMS_THRESH = float(cfg.TEST.RPN_NMS_THRESH)
+    net = getattr(backbones_mod, str(cfg.NET))()
     net.init_modules()
     net.eval()
     sd = {
@@ -342,16 +349,80 @@ def stage_eval(args, cfg, det, params):
     ok = np.isfinite(float(results.get("mAP_CLASSIFICATION", np.nan)))
     _status("eval", ok, f"{len(ds)} scenes -> {args.save_dir}")
     if ok and args.benchmark_export:
-        print(
-            "[real-weights] benchmark export: run tools/vox2mesh.py + "
-            f"tools/proj_label.py on {args.save_dir} (per-scene artifacts "
-            "written; meshes + world2grid come from the ScanNet release)"
-        )
+        if args.dry_run:
+            ok &= stage_benchmark_export_dry(args, cfg_t, ds)
+        else:
+            print(
+                "[real-weights] benchmark export: run tools/vox2mesh.py + "
+                f"tools/proj_label.py on {args.save_dir} (per-scene "
+                "artifacts written; meshes + world2grid come from the "
+                "ScanNet release)"
+            )
     return ok
 
 
-def prepare_dry_run(tmp):
-    """Random reference weights as a genuine .pth + a synthetic scene."""
+def stage_benchmark_export_dry(args, cfg_t, ds):
+    """Dry-run the vox2mesh benchmark export on the eval output.
+
+    Real runs get meshes + world2grid from the ScanNet release; here both
+    are synthesized from the scene gt (tools/e2e_benchmark_rehearsal.py
+    recipe) so the export stage — the reference's
+    tools/scannet_benchmark/vox2mesh.py step (README.md:146-151) — runs
+    for real and its instance files are format-checked.
+    """
+    import numpy as np
+
+    from tpu3dsis.eval import scannet_benchmark as sb
+    from tpu3dsis.tools.ply import write_ply
+
+    out_root = os.path.dirname(args.save_dir) or "."
+    bench_dir = os.path.join(out_root, "benchmark")
+    ok = True
+    n_exported = 0
+    for i in range(len(ds)):
+        scene_id = os.path.basename(ds.scenes[i]).split("__")[0]
+        save_scene = os.path.join(cfg_t.TEST_SAVE_DIR, scene_id[:12])
+        if not os.path.isdir(save_scene):
+            continue
+        sample = ds[i]
+        verts = [[0.5, 0.5, 0.5]]
+        for box in np.asarray(sample.gt_box):
+            lo, hi = box[:3], box[3:6]
+            verts.append(((lo + hi) / 2 + 0.5).tolist())
+        rngv = np.random.RandomState(i)
+        verts.extend(rngv.uniform(0, 4, (50, 3)).tolist())
+        mesh_file = os.path.join(out_root, scene_id + "_vh_clean_2.ply")
+        write_ply(mesh_file, np.asarray(verts, np.float32))
+        w2g_file = os.path.join(out_root, scene_id + "_world2grid.txt")
+        m = np.eye(4)
+        m[0, 3], m[1, 3], m[2, 3] = 10, 16, 10  # exporter's pad offset
+        np.savetxt(w2g_file, m, fmt="%.6f")
+        sb.export_scene(save_scene, mesh_file, w2g_file, bench_dir, scene_id)
+        pred_txt = os.path.join(bench_dir, scene_id + ".txt")
+        if not os.path.exists(pred_txt):
+            ok = False
+            continue
+        # format check: "<mask_rel> <label_id> <conf>" lines, masks on disk
+        for line in open(pred_txt).read().splitlines():
+            rel, label_id, conf = line.split()
+            ok &= os.path.exists(os.path.join(bench_dir, rel))
+            int(label_id), float(conf)
+        n_exported += 1
+    ok &= n_exported > 0
+    return _status(
+        "benchmark-export", ok, f"{n_exported} scenes -> {bench_dir}"
+    )
+
+
+def prepare_dry_run(tmp, cfg, cfg_path, color):
+    """Random reference weights as a genuine .pth + a synthetic scene.
+
+    color=False: geometry chunk-scene (fast leg). color=True: a full
+    synthetic color scene — shaded RGB/depth/pose frames in the
+    frames_square layout (datagen/synthetic_color) plus a random reference
+    ENet saved as a real .pth, so convert/parity/eval run the color branch
+    end to end.
+    """
     import numpy as np
     import torch
 
@@ -359,31 +430,114 @@ def prepare_dry_run(tmp):
 
     from tpu3dsis.io import write_chunk_file
 
-    _, backbones_mod, _ = refnet.load_reference({"USE_IMAGES": False})
-    net = backbones_mod.ScanNet_Backbone()
+    enet_pth = None
+    frames_root = None
+    updates = {"USE_IMAGES": color}
+    if color:
+        # random ENet FIRST: the reference's init_modules torch.loads
+        # PRETRAINED_ENET_PATH when USE_IMAGES (backbones.py init chain)
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "ref_enet", "/root/reference/lib/nets/enet.py"
+        )
+        ref_enet = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ref_enet)
+        torch.manual_seed(0)
+        enet = ref_enet.create_enet(int(cfg.NUM_2D_CLASSES))
+        enet_pth = os.path.join(tmp, "enet.pth")
+        torch.save(enet.state_dict(), enet_pth)
+        updates.update(
+            NUM_IMAGE_CHANNELS=int(cfg.NUM_IMAGE_CHANNELS),
+            NUM_2D_CLASSES=int(cfg.NUM_2D_CLASSES),
+            PRETRAINED_ENET_PATH=enet_pth,
+        )
+    _, backbones_mod, _ = refnet.load_reference(
+        updates, cfg_file=cfg_path, num_classes=int(cfg.NUM_CLASSES)
+    )
+    net = getattr(backbones_mod, str(cfg.NET))()
     net.init_modules()
     pth = os.path.join(tmp, "step_0.pth")
     torch.save(net.state_dict(), pth)
 
-    sdf = make_chunk(seed=9)
-    boxes = np.array(
-        [[12, 6, 14, 26, 18, 28], [50, 4, 20, 70, 10, 40]], np.float64
-    )
-    labels = np.array([5, 7])
-    masks = [
-        np.ones((14, 12, 14), np.uint16), np.ones((20, 6, 20), np.uint16)
-    ]
-    scene = os.path.join(tmp, "scene0000_00__0__.scene")
-    vs = 0.046875
-    write_chunk_file(
-        scene, sdf, boxes, labels, masks, np.ones(2, np.float32),
-        np.diag([vs, vs, vs, 1.0]).astype(np.float32),  # inv(world2grid)
-        np.zeros(0, np.uint32),
-    )
+    if color:
+        from tpu3dsis.datagen.synthetic_color import generate_scene
+
+        out = generate_scene(
+            np.random.RandomState(17), tmp, "scene0000_00",
+            extent_m=(4.2, 2.2, 4.2), n_objects=5,
+            voxel_size=float(cfg.VOXEL_SIZE),
+            image_wh=tuple(int(x) for x in cfg.IMAGE_SHAPE),
+            max_views=6, traj_wh=(48, 36), chunks=False,
+        )
+        scene = out["scene_path"]
+        frames_root = os.path.join(tmp, "frames_square")
+        if str(cfg.IMAGE_TYPE) != "color":
+            # SUNCG layout names the color dir e.g. 'color2'
+            # (augmented frames; dataset.py:144-149 hardcodes the name)
+            src = os.path.join(frames_root, "scene0000_00", "color")
+            os.rename(src, src[:-5] + str(cfg.IMAGE_TYPE))
+    else:
+        sdf = make_chunk(seed=9)
+        boxes = np.array(
+            [[12, 6, 14, 26, 18, 28], [50, 4, 20, 70, 10, 40]], np.float64
+        )
+        labels = np.array([5, 7])
+        masks = [
+            np.ones((14, 12, 14), np.uint16),
+            np.ones((20, 6, 20), np.uint16),
+        ]
+        scene = os.path.join(tmp, "scene0000_00__0__.scene")
+        vs = 0.046875
+        write_chunk_file(
+            scene, sdf, boxes, labels, masks, np.ones(2, np.float32),
+            np.diag([vs, vs, vs, 1.0]).astype(np.float32),  # inv(world2grid)
+            np.zeros(0, np.uint32),
+        )
     fl = os.path.join(tmp, "scenes.txt")
     with open(fl, "w") as f:
         f.write(scene + "\n")
-    return pth, fl
+    return pth, fl, enet_pth, frames_root
+
+
+# the three shipped released-checkpoint configs (reference README.md:120-168:
+# ScanNetV2 step_805146, ScanNet Benchmark step_1205541, SUNCG step_956472).
+# --dry-run exercises every one: leg 0 geometry-only + the benchmark export,
+# legs 1/2 the FULL color branch (random ENet .pth + synthetic frames).
+DRY_RUN_LEGS = (
+    ("experiments/cfgs/ScanNet/benchmark.yml", False, True),
+    ("experiments/cfgs/ScanNet/rpn_class_mask_5.yml", True, False),
+    ("experiments/cfgs/SUNCG/rpn_class_mask_5.yml", True, False),
+)
+
+
+def run_leg(args):
+    import jax  # noqa: F401 (backend selected in main)
+
+    from tpu3dsis.config import cfg_from_file, finalize_config
+    from tpu3dsis.models import Detector
+
+    cfg = cfg_from_file(args.cfg)
+    finalize_config(cfg)
+    if args.dry_run:
+        cfg.KEEP_THRESH = 0.0
+        cfg.TEST.RPN_PRE_NMS_TOP_N = 256
+        cfg.TEST.RPN_POST_NMS_TOP_N = 32
+        cfg.CLASS_THRESH = 0.05
+        if not args.dry_color:
+            cfg.USE_IMAGES = False  # geometry leg
+    if not bool(cfg.USE_IMAGES_GT) and bool(cfg.USE_IMAGES) and not args.enet:
+        raise SystemExit(
+            "color config needs --enet (PRETRAINED_ENET_PATH analogue)"
+        )
+    det = Detector(cfg, anchor_dir="experiments/anchors")
+
+    params, ok = stage_convert(args, cfg, det)
+    if ok:
+        ok = stage_parity(args, cfg, det, params) and ok
+    if ok and args.scene_filelist:
+        ok = stage_eval(args, cfg, det, params) and ok
+    return ok
 
 
 def main():
@@ -398,8 +552,12 @@ def main():
     p.add_argument("--max-scenes", type=int, default=None)
     p.add_argument("--dry-run", action="store_true",
                    help="CI rehearsal: random reference weights + synthetic "
-                        "scene through the identical stages")
+                        "scenes through the identical stages, one leg per "
+                        "shipped checkpoint config")
+    p.add_argument("--dry-run-leg", type=int, default=None,
+                   help="run only this DRY_RUN_LEGS index (budgeted CI)")
     args = p.parse_args()
+    args.dry_color = False
 
     import jax
 
@@ -409,35 +567,35 @@ def main():
 
     enable_compilation_cache()
 
+    if not args.dry_run:
+        if not args.pth:
+            p.error("--pth required (or --dry-run)")
+        ok = run_leg(args)
+        print(f"[real-weights] {'READY' if ok else 'NOT READY'}")
+        return 0 if ok else 1
+
     from tpu3dsis.config import cfg_from_file, finalize_config
-    from tpu3dsis.models import Detector
 
-    tmp = None
-    if args.dry_run:
-        tmp = tempfile.mkdtemp(prefix="real_weights_dry_")
-        args.pth, args.scene_filelist = prepare_dry_run(tmp)
-        args.save_dir = os.path.join(tmp, "test")
-        args.max_scenes = 1
-
-    cfg = cfg_from_file(args.cfg)
-    finalize_config(cfg)
-    if args.dry_run:
-        cfg.USE_IMAGES = False  # random-weight rehearsal is geometry-only
-        cfg.KEEP_THRESH = 0.0
-        cfg.TEST.RPN_PRE_NMS_TOP_N = 256
-        cfg.TEST.RPN_POST_NMS_TOP_N = 32
-        cfg.CLASS_THRESH = 0.05
-    if not args.pth:
-        p.error("--pth required (or --dry-run)")
-    if not bool(cfg.USE_IMAGES_GT) and bool(cfg.USE_IMAGES) and not args.enet:
-        p.error("color config needs --enet (PRETRAINED_ENET_PATH analogue)")
-    det = Detector(cfg, anchor_dir="experiments/anchors")
-
-    params, ok = stage_convert(args, cfg, det)
-    if ok:
-        ok = stage_parity(args, cfg, det, params) and ok
-    if ok and args.scene_filelist:
-        ok = stage_eval(args, cfg, det, params) and ok
+    ok = True
+    legs = list(enumerate(DRY_RUN_LEGS))
+    if args.dry_run_leg is not None:
+        legs = [legs[args.dry_run_leg]]
+    for i, (cfg_path, color, export) in legs:
+        print(f"[real-weights] === dry-run leg {i}: {cfg_path}"
+              f"{' (color)' if color else ''} ===", flush=True)
+        leg = argparse.Namespace(**vars(args))
+        leg.cfg = cfg_path
+        leg.dry_color = color
+        cfg = cfg_from_file(cfg_path)
+        finalize_config(cfg)
+        tmp = tempfile.mkdtemp(prefix=f"real_weights_dry{i}_")
+        leg.pth, leg.scene_filelist, leg.enet, leg.frames = prepare_dry_run(
+            tmp, cfg, cfg_path, color
+        )
+        leg.save_dir = os.path.join(tmp, "test")
+        leg.max_scenes = 1
+        leg.benchmark_export = os.path.join(tmp, "benchmark") if export else ""
+        ok = run_leg(leg) and ok
     print(f"[real-weights] {'READY' if ok else 'NOT READY'}")
     return 0 if ok else 1
 
