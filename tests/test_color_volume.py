@@ -12,6 +12,7 @@ from tpu3dsis.geometry.projection import (
     merge_bf16x3,
     project_features,
     project_view_fused,
+    project_view_split,
     split_bf16x3,
 )
 from tpu3dsis.infer.color_volume import make_color_volume_fn
@@ -128,6 +129,52 @@ def test_fused_single_gather_matches_two_pass_projection(rng):
     )
     assert int(valid.sum()) > 0
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_split_projection_bit_exact_at_lane_width(rng):
+    """project_view_split (lane-aligned 128-wide gather + separable one-hot
+    depth lookup on the MXU) must be bit-identical to project_view_fused:
+    the same f32 depth value must reach the acceptance predicate, so the
+    kept-voxel SET — not just the features — matches exactly. Also pins the
+    fuse_views dispatch: at C % 128 == 0 the gather path must route through
+    the split kernel and still equal the prefer_gather=False oracle."""
+    proj = _proj()
+    v = 3
+    feats, depths, poses = _frames(rng, proj, v, c=128)
+    scene = (24, 16, 24)
+    w2g = _w2g()
+
+    for i in range(v):
+        fused = project_view_fused(
+            jnp.asarray(feats[i]).astype(jnp.bfloat16),
+            jnp.asarray(depths[i]), jnp.asarray(poses[i]),
+            jnp.asarray(w2g), jnp.asarray(proj.intrinsic), scene,
+            proj.depth_shape, proj.depth_min, proj.depth_max,
+            proj.voxel_size,
+        )
+        split = project_view_split(
+            jnp.asarray(feats[i]).astype(jnp.bfloat16),
+            jnp.asarray(depths[i]), jnp.asarray(poses[i]),
+            jnp.asarray(w2g), jnp.asarray(proj.intrinsic), scene,
+            proj.depth_shape, proj.depth_min, proj.depth_max,
+            proj.voxel_size,
+        )
+        assert float(jnp.abs(fused.astype(jnp.float32)).sum()) > 0
+        np.testing.assert_array_equal(np.asarray(split), np.asarray(fused))
+
+    oracle = fuse_views(
+        jnp.asarray(feats).astype(jnp.bfloat16), jnp.asarray(depths),
+        jnp.asarray(poses), jnp.asarray(w2g), jnp.asarray(proj.intrinsic),
+        scene, proj.depth_shape, proj.depth_min, proj.depth_max,
+        proj.voxel_size, prefer_gather=False,
+    )
+    got = fuse_views(
+        jnp.asarray(feats).astype(jnp.bfloat16), jnp.asarray(depths),
+        jnp.asarray(poses), jnp.asarray(w2g), jnp.asarray(proj.intrinsic),
+        scene, proj.depth_shape, proj.depth_min, proj.depth_max,
+        proj.voxel_size, prefer_gather=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(oracle))
 
 
 def test_resident_volume_exact_vs_reference_fusion_semantics(rng):

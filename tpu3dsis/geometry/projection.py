@@ -291,6 +291,81 @@ def project_view_fused(
     return vol.reshape(*tuple(volume_dims), c)
 
 
+def project_view_split(
+    feat2d,
+    depth,
+    camera_to_world,
+    world_to_grid,
+    intrinsic,
+    volume_dims,
+    image_dims,
+    depth_min,
+    depth_max,
+    voxel_size,
+    coord_offset=None,
+):
+    """One view's projected volume: lane-aligned feature gather + separable
+    one-hot depth lookup.
+
+    Value-identical to :func:`project_view_fused` (same f32 depth reaches
+    the acceptance predicate), but splits its combined (N, C+3) gather:
+
+    * the 3 ridden depth columns pushed the gather row width to C+3 = 131,
+      which the TPU tiled layout pads to 256 lanes — the gather DMA then
+      moves 2x the feature bytes, and extracting the 3 columns afterwards
+      forced a full (N, 131) layout transpose (a measured 2.1 ms/view copy
+      in the 192x48x192 resident build, ~18% of the view step);
+    * here the feature table stays exactly C = 128 wide (one lane granule)
+      and the depth lookup becomes a SEPARABLE one-hot contraction:
+      M = onehot(px) @ T with T[u, j*H+v] = d_j[v, u] picks column px on
+      the MXU for every image row at once (bf16 products 1.0 * x are
+      exact), then a one-hot(py) row-dot picks the image row — unlike the
+      flat (N, H*W) one-hot of ``compute_projection`` (whose materialized
+      operand is ~9 GB at resident scale) the factors are only (N, W+1)
+      and (N, H). The three bf16x3 planes ride T's columns, so the merged
+      dval is the exact f32 depth, bit-identical to the ridden-column path.
+
+    feat2d must be bf16 (the resident volume's dtype). Returns (X, Y, Z, C).
+    """
+    w, h = image_dims
+    c = feat2d.shape[-1]
+    lin2d, in_image, zc = project_coords(
+        camera_to_world, world_to_grid, intrinsic, tuple(volume_dims),
+        tuple(image_dims), coord_offset,
+    )
+    px = jnp.where(in_image, lin2d % w, w)  # dump column when out of image
+    py = lin2d // w
+
+    d1, d2, d3 = split_bf16x3(jax.lax.stop_gradient(depth.reshape(h, w)))
+    table = jnp.concatenate(
+        [d.T for d in (d1, d2, d3)], axis=-1
+    )  # (W, 3H): [u, j*H + v] = d_j[v, u]
+    onehot_u = jax.lax.stop_gradient(
+        jax.nn.one_hot(px, w + 1, dtype=jnp.bfloat16)[:, :w]
+    )
+    m = jnp.matmul(onehot_u, table)  # (N, 3H), exact bf16 picks
+    onehot_v = jax.lax.stop_gradient(
+        jax.nn.one_hot(py, h, dtype=jnp.float32)
+    )
+    m3 = m.astype(jnp.float32).reshape(-1, 3, h)
+    picks = jnp.sum(m3 * onehot_v[:, None, :], axis=-1)  # (N, 3) exact
+    dvals = merge_bf16x3(
+        picks[:, 0].astype(jnp.bfloat16),
+        picks[:, 1].astype(jnp.bfloat16),
+        picks[:, 2].astype(jnp.bfloat16),
+    )
+
+    rows = feat2d.reshape(-1, c).astype(jnp.bfloat16)[lin2d]  # aligned gather
+    valid = (
+        in_image
+        & (dvals >= depth_min)
+        & (dvals <= depth_max)
+        & (jnp.abs(dvals - zc) <= voxel_size)
+    )
+    vol = jnp.where(valid[:, None], rows, jnp.zeros((), jnp.bfloat16))
+    return vol.reshape(*tuple(volume_dims), c)
+
+
 def fuse_views(
     feats2d,
     depths,
@@ -343,7 +418,16 @@ def fuse_views(
 
     def project_one(feat, depth, pose, ok):
         if prefer_gather and feat.dtype == jnp.bfloat16:
-            vol = project_view_fused(
+            # split > fused when the feature width is lane-aligned: the
+            # ridden depth columns make the gather rows 131 wide -> padded
+            # to 256 lanes (2x DMA) + a full layout copy (see
+            # project_view_split); both are value-identical
+            proj = (
+                project_view_split
+                if feat.shape[-1] % 128 == 0
+                else project_view_fused
+            )
+            vol = proj(
                 feat, depth, pose, world_to_grid, intrinsic,
                 tuple(volume_dims), tuple(image_dims),
                 depth_min, depth_max, voxel_size,

@@ -1568,7 +1568,12 @@ class SceneInference:
         extent = jnp.asarray(np.asarray(scene_data.shape[:3], np.int32))
         fused = self._build_fused_fn(use_color=use_color)
 
-        def repeated(scene_dev):
+        # params/volume/origins enter as jit ARGUMENTS, not closures: a
+        # closed-over device array is embedded into the serialized HLO as a
+        # literal, and the resident color volume (~450 MB bf16) blows the
+        # axon remote_compile request limit (measured HTTP 413)
+        def repeated(scene_dev, params_d, origins, tile_valid, extent,
+                     color_dev):
             def body(c, _):
                 sd = scene_dev + (c * 1e-20).astype(scene_dev.dtype)
                 if use_color:
@@ -1588,9 +1593,10 @@ class SceneInference:
             return c
 
         f = jax.jit(repeated)
-        float(f(scene_dev))  # compile + drain
+        args = (scene_dev, params_d, origins, tile_valid, extent, color_dev)
+        float(f(*args))  # compile + drain
         import time as _time
 
         t0 = _time.perf_counter()
-        float(f(scene_dev))
+        float(f(*args))
         return (_time.perf_counter() - t0) / iters
