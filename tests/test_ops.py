@@ -144,6 +144,83 @@ def test_roi_pool_tabled_equals_reference_random(rng):
     np.testing.assert_array_equal(a, b)
 
 
+def test_roi_pool_cap_fallback_branch(rng, monkeypatch):
+    """The production op silently switches to the masked path when the
+    all-interval table would exceed _INTERVAL_TABLE_MAX_ELEMS
+    (roi_pool3d.py:289-296). Pin (a) that an above-cap shape still matches
+    the oracle and (b) that the cap actually selects the branch intended —
+    by shrinking the cap so the SAME shape flips branches, and asserting
+    the chosen implementation is the one the cap dictates."""
+    import importlib
+
+    rp = importlib.import_module("tpu3dsis.ops.roi_pool3d")
+
+    feat = rng.randn(24, 12, 24, 8).astype(np.float32)
+    lo = rng.uniform(0, 90, (16, 3))
+    hi = lo + rng.uniform(1, 60, (16, 3))
+    rois = np.clip(
+        np.concatenate([lo, hi], 1), 0, [96, 48, 96, 96, 48, 96]
+    ).astype(np.float32)
+    elems = 24 * 25 // 2 * 12 * 24 * 8  # the table this shape would build
+
+    calls = []
+    real_interval = rp._pool_rois_interval
+    real_masked = rp._roi_pool3d_masked
+    monkeypatch.setattr(
+        rp, "_pool_rois_interval",
+        lambda *a: (calls.append("interval"), real_interval(*a))[1],
+    )
+    monkeypatch.setattr(
+        rp, "_roi_pool3d_masked",
+        lambda *a: (calls.append("masked"), real_masked(*a))[1],
+    )
+
+    want = np.asarray(
+        rp.roi_pool3d_reference(jnp.asarray(feat), jnp.asarray(rois), 4, 0.25)
+    )
+
+    # below cap -> interval table (jit cache bypassed via _roi_pool3d_prod)
+    monkeypatch.setattr(rp, "_INTERVAL_TABLE_MAX_ELEMS", elems)
+    a = np.asarray(
+        rp._roi_pool3d_prod(jnp.asarray(feat), jnp.asarray(rois), 4, 0.25)
+    )
+    assert calls == ["interval"]
+    np.testing.assert_array_equal(a, want)
+
+    # above cap -> masked fallback, same values
+    calls.clear()
+    monkeypatch.setattr(rp, "_INTERVAL_TABLE_MAX_ELEMS", elems - 1)
+    b = np.asarray(
+        rp._roi_pool3d_prod(jnp.asarray(feat), jnp.asarray(rois), 4, 0.25)
+    )
+    assert calls == ["masked"]
+    np.testing.assert_array_equal(b, want)
+
+
+def test_roi_pool_above_default_cap_matches_oracle(rng):
+    """A shape above the PRODUCTION cap (single-shot 240-voxel scene
+    features: 60x12x60 stride-4 maps -> 337M table elems > 96M) through the
+    public roi_pool3d, asserting the fallback path is numerically right at
+    the shape production actually hits."""
+    import importlib
+
+    rp = importlib.import_module("tpu3dsis.ops.roi_pool3d")
+
+    w, h, l, c = 60, 12, 60, 128
+    assert w * (w + 1) // 2 * h * l * c > rp._INTERVAL_TABLE_MAX_ELEMS
+    feat = rng.randn(w, h, l, c).astype(np.float32)
+    lo = rng.uniform(0, 220, (8, 3))
+    hi = lo + rng.uniform(4, 100, (8, 3))
+    rois = np.clip(
+        np.concatenate([lo, hi], 1), 0, [240, 48, 240, 240, 48, 240]
+    ).astype(np.float32)
+    got = np.asarray(roi_pool3d(jnp.asarray(feat), jnp.asarray(rois), 4, 0.25))
+    want = np.asarray(
+        rp.roi_pool3d_reference(jnp.asarray(feat), jnp.asarray(rois), 4, 0.25)
+    )
+    np.testing.assert_array_equal(got, want)
+
+
 def test_roi_pool_pallas_interpret_parity(rng):
     """Pallas TPU kernel (interpret mode on CPU) == XLA path."""
     from tpu3dsis.ops.roi_pool3d_pallas import roi_pool3d_pallas
