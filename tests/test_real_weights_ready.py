@@ -37,8 +37,8 @@ def test_real_weights_dry_run_ready_geometry_and_export():
     out = _run_leg(0)
     # every stage actually ran (none silently skipped)
     for stage in ("convert: PASS", "parity/proposals: PASS",
-                  "parity/classifier: PASS", "eval: PASS",
-                  "benchmark-export: PASS"):
+                  "parity/classifier: PASS", "parity/mask: PASS",
+                  "eval: PASS", "benchmark-export: PASS"):
         assert stage in out, f"stage missing: {stage}"
 
 
@@ -46,8 +46,8 @@ def test_real_weights_dry_run_ready_geometry_and_export():
 def test_real_weights_dry_run_ready_scannet_color():
     out = _run_leg(1)
     for stage in ("convert: PASS", "parity/proposals: PASS",
-                  "parity/classifier: PASS", "parity/enet: PASS",
-                  "eval: PASS"):
+                  "parity/classifier: PASS", "parity/mask: PASS",
+                  "parity/enet: PASS", "eval: PASS"):
         assert stage in out, f"stage missing: {stage}"
 
 
@@ -55,6 +55,6 @@ def test_real_weights_dry_run_ready_scannet_color():
 def test_real_weights_dry_run_ready_suncg_color():
     out = _run_leg(2)
     for stage in ("convert: PASS", "parity/proposals: PASS",
-                  "parity/classifier: PASS", "parity/enet: PASS",
-                  "eval: PASS"):
+                  "parity/classifier: PASS", "parity/mask: PASS",
+                  "parity/enet: PASS", "eval: PASS"):
         assert stage in out, f"stage missing: {stage}"

@@ -182,6 +182,9 @@ def load_bench_scenes(bench):
     manifest = os.path.join(bench.BENCH_COLOR_DIR, "manifest.pkl")
     with open(manifest, "rb") as f:
         scene_paths = pickle.load(f)
+    fl = os.path.join(bench.BENCH_COLOR_DIR, "scenes.txt")
+    with open(fl, "w") as f:
+        f.write("".join(p + "\n" for p in scene_paths))
     det = Detector(cfg, anchor_dir="experiments/anchors")
     params = {
         k: np.asarray(v, np.float32)
