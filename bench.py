@@ -339,6 +339,143 @@ def bench_color_scene(jax):
     }
 
 
+def bench_train(jax, jnp):
+    """Train-step s/iter for the two shipped workloads (VERDICT r4 #6).
+
+    The reference's published schedule is ~400k train steps
+    (README.md:177-202) — training is half the workload, so a train-step
+    regression must be driver-visible. Two configs, matching BENCH_NOTES
+    "Training": geometry-only chunks (batch 8) and the FULL color config
+    (5-view ENet + on-device projection + RPN/class/mask losses, batch 4),
+    both bf16, full 96x48x96 chunks, one jitted program per step. Timed as
+    a short stream of sequential steps with carried state (the production
+    shape); reported as s/iter per *chunk batch*, plus chunks/s to make
+    cross-batch comparison direct.
+    """
+    from __graft_entry__ import _scannet_cfg
+    from tpu3dsis.models import Detector
+    from tpu3dsis.train.trainstep import TrainState, build_train_step
+
+    rng = np.random.RandomState(7)
+    shape = (96, 48, 96)
+
+    def make_batch(n, cfg, color=False):
+        max_gt = int(cfg.TPU_MAX_GT)
+        gt = np.full((n, max_gt, 7), -1e4, np.float32)
+        gt[..., 3:6] = gt[..., :3] + 1.0
+        gt[..., 6] = 0.0
+        valid = np.zeros((n, max_gt), bool)
+        canvas = np.zeros((n, *shape), np.float32)
+        for i in range(n):
+            for j in range(4):
+                x0 = rng.randint(8, shape[0] - 22)
+                y0 = rng.randint(4, shape[1] - 14)
+                z0 = rng.randint(8, shape[2] - 22)
+                sx, sy, sz = rng.randint(6, 14, 3)
+                gt[i, j] = [x0, y0, z0, x0 + sx, y0 + sy, z0 + sz,
+                            3 + (j % 4) * 4]
+                valid[i, j] = True
+                canvas[i, x0 : x0 + sx, y0 : y0 + sy, z0 : z0 + sz] = 1.0
+        batch = {
+            "data": rng.randn(n, *shape, 2).astype(np.float32),
+            "gt_box": gt,
+            "gt_valid": valid,
+            "mask_canvas": canvas,
+        }
+        if color:
+            v = int(cfg.NUM_IMAGES)
+            w_img, h_img = cfg.IMAGE_SHAPE
+            w_d, h_d = cfg.DEPTH_SHAPE
+            batch["images"] = rng.randint(
+                0, 255, (n, v, h_img, w_img, 3)
+            ).astype(np.float32) / 255.0
+            batch["depths"] = rng.uniform(
+                0.4, 4.0, (n, v, h_d, w_d)
+            ).astype(np.float32)
+            poses = np.tile(np.eye(4, dtype=np.float32), (n, v, 1, 1))
+            poses[..., 2, 3] = -1.0  # camera 1 m in front of the grid
+            batch["poses"] = poses
+            batch["view_valid"] = np.ones((n, v), bool)
+            vs = float(cfg.VOXEL_SIZE)
+            w2g = np.diag([1 / vs] * 3 + [1.0]).astype(np.float32)
+            w2g[:3, 3] = [shape[0] / 2, 0.0, shape[2] / 2]
+            batch["world_to_grid"] = np.tile(w2g, (n, 1, 1))
+        return batch
+
+    def run_once(cfg, n, color, iters=3):
+        det = Detector(cfg, anchor_dir="experiments/anchors")
+        params = det.init_params(jax.random.PRNGKey(0))
+        opt_init, step = build_train_step(det, cfg, shape)
+        state = TrainState(params=params, opt=opt_init(params))
+        batch = {
+            k: jnp.asarray(v) for k, v in make_batch(n, cfg, color).items()
+        }
+        key = jax.random.PRNGKey(1)
+        state, m = step(state, batch, key)  # compile
+        jax.block_until_ready(state.params)
+        assert bool(m["step_finite"]), "non-finite bench train step"
+        times = []
+        for i in range(iters):
+            t0 = time.perf_counter()
+            state, _ = step(state, batch, jax.random.fold_in(key, i))
+            jax.block_until_ready(state.params)
+            times.append(time.perf_counter() - t0)
+        dt = float(np.median(times))
+        return dt, n / dt
+
+    def run(cfg, batches, color):
+        # the mask-FCN activations dominate train-step HBM; the full-canvas
+        # step OOMs one v5e chip above batch ~4 (measured 19.4 G / 15.75 G
+        # at batch 8), so step the batch down on RESOURCE_EXHAUSTED and
+        # report the batch that fit — a regression that shrinks the
+        # fitting batch is itself driver-visible this way
+        err = None
+        for n in batches:
+            try:
+                dt, rate = run_once(cfg, n, color)
+            except Exception as e:  # HBM OOM surfaces as JaxRuntimeError
+                if "RESOURCE_EXHAUSTED" not in str(e) and (
+                    "memory" not in str(e).lower()
+                ):
+                    raise
+                err = e
+                continue
+            if dt > 30.0 and n > batches[-1]:
+                # a step that compiles but runs 50x its expected time is
+                # HBM oversubscription paging through the host tunnel
+                # (measured: color batch 2 at 165 s/iter vs batch 1 at
+                # ~0.7) — treat like OOM and step the batch down
+                continue
+            return n, dt, rate
+        raise err or RuntimeError("all bench batches oversubscribed")
+
+    cfg = _scannet_cfg()
+    cfg.TPU_COMPUTE_DTYPE = "bfloat16"
+    # windowed mask crops: exact for boxes <= 3 m (BENCH_NOTES Training),
+    # and the config every large-batch training run would use
+    cfg.TPU_MASK_CANVAS = [64, 48, 64]
+    g_n, g_it, g_rate = run(cfg, (8, 4, 2), color=False)
+
+    ccfg = _scannet_cfg()
+    ccfg.TPU_COMPUTE_DTYPE = "bfloat16"
+    ccfg.TPU_MASK_CANVAS = [64, 48, 64]
+    ccfg.USE_IMAGES = True
+    ccfg.USE_IMAGES_GT = False
+    ccfg.NUM_IMAGES = 5
+    # every shipped config freezes ENet (FIX_ENET; reference enet.py:699 +
+    # network.py:80-83 run it in eval) — bench the shipped workload
+    c_n, c_it, c_rate = run(ccfg, (4, 2, 1), color=True)
+
+    return {
+        "train_geometry_s_per_iter": round(g_it, 3),
+        "train_geometry_batch": g_n,
+        "train_geometry_chunks_per_s": round(g_rate, 2),
+        "train_color5v_s_per_iter": round(c_it, 3),
+        "train_color5v_batch": c_n,
+        "train_color5v_chunks_per_s": round(c_rate, 2),
+    }
+
+
 def main():
     import jax
 
@@ -354,6 +491,10 @@ def main():
         color = bench_color_scene(jax)
     except Exception as e:  # color bench must never mask the core metric
         color = {"color_bench_error": f"{type(e).__name__}: {e}"[:200]}
+    try:
+        train = bench_train(jax, jnp)
+    except Exception as e:  # train bench must never mask the core metric
+        train = {"train_bench_error": f"{type(e).__name__}: {e}"[:200]}
 
     base = measured_baseline()
     ref_cpu = base["ref_cpu_chunks_per_s"] if base else None
@@ -385,6 +526,8 @@ def main():
     if color:
         for k, v in color.items():
             out[k] = round(v, 2) if isinstance(v, float) else v
+    if train:
+        out.update(train)
     print(json.dumps(out))
 
 

@@ -41,6 +41,19 @@ def main():
             ts.append(time.perf_counter() - t0)
         out[f"upload_{mb}mb_mb_per_s"] = round(mb / min(ts), 1)
 
+    # --- the REAL shape the stream ships: an (V, H, W, 3) uint8 view stack
+    imgs = rng.randint(0, 255, (87, 256, 328, 3), dtype=np.uint8)
+    jax.block_until_ready(jax.device_put(imgs))
+    ts = []
+    for _ in range(3):
+        b = imgs.copy()
+        t0 = time.perf_counter()
+        jax.block_until_ready(jax.device_put(b))
+        ts.append(time.perf_counter() - t0)
+    out["upload_viewstack_mb_per_s"] = round(
+        imgs.nbytes / 1e6 / min(ts), 1
+    )
+
     # --- two concurrent upload threads: does aggregate BW scale? ---
     bufs = [rng.randint(0, 255, (24 << 20,), dtype=np.uint8) for _ in range(2)]
     ex = concurrent.futures.ThreadPoolExecutor(2)
@@ -59,7 +72,7 @@ def main():
         def body(c, _):
             c = jnp.tanh(c @ x) * 1e-3 + c
             return c, None
-        c, _ = jax.lax.scan(body, x, None, length=12)
+        c, _ = jax.lax.scan(body, x, None, length=600)
         return c
 
     jax.block_until_ready(heavy(x))
@@ -91,11 +104,13 @@ def main():
     )  # 1.0 = full overlap, 0.0 = fully serialized
 
     # --- device->host download bandwidth (mask bits etc.) ---
-    dev = jax.device_put(buf)
-    jax.block_until_ready(dev)
+    # 2 MB, not 24: the first probe run measured 0.1 MB/s on a 24 MB
+    # download (4 min!) — keep the probe itself bounded
+    dl = jax.device_put(buf[: 2 << 20])
+    jax.block_until_ready(dl)
     t0 = time.perf_counter()
-    np.asarray(dev)
-    out["download_24mb_mb_per_s"] = round(24 / (time.perf_counter() - t0), 1)
+    np.asarray(dl)
+    out["download_2mb_mb_per_s"] = round(2 / (time.perf_counter() - t0), 1)
 
     print(json.dumps(out, indent=1))
 
