@@ -161,7 +161,7 @@ def test_roi_pool_cap_fallback_branch(rng, monkeypatch):
     rois = np.clip(
         np.concatenate([lo, hi], 1), 0, [96, 48, 96, 96, 48, 96]
     ).astype(np.float32)
-    elems = 24 * 25 // 2 * 12 * 24 * 8  # the table this shape would build
+    elems = rp._interval_table_rows(24) * 12 * 24 * 8  # this shape's table
 
     calls = []
     real_interval = rp._pool_rois_interval
@@ -207,7 +207,7 @@ def test_roi_pool_above_default_cap_matches_oracle(rng):
     rp = importlib.import_module("tpu3dsis.ops.roi_pool3d")
 
     w, h, l, c = 60, 12, 60, 128
-    assert w * (w + 1) // 2 * h * l * c > rp._INTERVAL_TABLE_MAX_ELEMS
+    assert rp._interval_table_rows(w) * h * l * c > rp._INTERVAL_TABLE_MAX_ELEMS
     feat = rng.randn(w, h, l, c).astype(np.float32)
     lo = rng.uniform(0, 220, (8, 3))
     hi = lo + rng.uniform(4, 100, (8, 3))

@@ -121,21 +121,38 @@ def measure(name, rec, params, report):
 
 
 def export_benchmark(name, out, masks, sample, report):
-    """Predictions -> benchmark artifacts -> vox2mesh (example.sh chain)."""
-    from tpu3dsis.eval.scannet_benchmark import vox2mesh_scene
+    """Predictions -> vox2mesh canvas -> per-vertex instances -> benchmark
+    txt/mask files (the reference example.sh vox2mesh stage, at the
+    400x200x400 canvas scale of ``vox2mesh.py:43``)."""
+    from tpu3dsis.eval.scannet_benchmark import (
+        save_scannet_benchmark,
+        vertices_to_instances,
+    )
 
     t0 = time.perf_counter()
     order = np.argsort(-np.asarray(out["pred_conf"]))
-    verts = np.argwhere(sample.data[..., 1] > 0).astype(np.float32)
-    ids = vox2mesh_scene(
-        verts,
-        np.asarray(out["pred_box"])[order],
-        [np.asarray(masks[i]) for i in order],
-        np.asarray(out["pred_class"])[order],
-    )
+    box = np.asarray(out["pred_box"])[order]
+    cls = np.asarray(out["pred_class"])[order]
+    conf = np.asarray(out["pred_conf"])[order]
+    canvas_shape = (400, 200, 400)
+    scene = np.zeros(canvas_shape)
+    for i in range(len(box)):
+        r = np.clip(np.round(box[i]).astype(int), 0,
+                    [*canvas_shape, *canvas_shape])
+        m = np.asarray(masks[order[i]])
+        sub = scene[r[0]: r[3], r[1]: r[4], r[2]: r[5]]
+        msub = m[: sub.shape[0], : sub.shape[1], : sub.shape[2]]
+        write = (msub != 0) & (sub == 0)
+        sub[write] = i * 100 + cls[i] + min(float(conf[i]), 0.999) - 0.01
+    # mesh vertices in grid coords (identity world2grid): the occupied
+    # surface voxels stand in for the scan mesh
+    occ = np.argwhere(sample.data[..., 0] <= 1.0).astype(np.float64)
+    ic, im, cf = vertices_to_instances(occ, np.eye(4), scene)
+    outdir = os.path.join(ROOT, "benchmark_out")
+    save_scannet_benchmark(ic, im, cf, len(occ), outdir, name)
     report[name]["vox2mesh_s"] = round(time.perf_counter() - t0, 2)
-    report[name]["mesh_verts"] = int(len(verts))
-    report[name]["mesh_instances"] = int(len(np.unique(ids[ids > 0])))
+    report[name]["mesh_verts"] = int(len(occ))
+    report[name]["mesh_instances"] = int(len(ic))
 
 
 def main():

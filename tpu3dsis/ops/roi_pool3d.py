@@ -256,15 +256,25 @@ def roi_pool3d_segmented(feat, rois, pooled: int, spatial_scale: float):
 # masked reduce alone: its cost is P x W x (H*L*C) select+max VPU ops PER ROI
 # PER LEVEL (two identical 16.6 ms fusions at batch 32), because every bin
 # re-streams the full feature extent. But all R rois share the feature map,
-# and W is small (stride-4 features: W=24 for 96-voxel chunks), so ALL
-# W*(W+1)/2 interval maxima along the first axis can be precomputed ONCE per
-# map with W cummax sweeps (~11M max-ops, vs 700M for the per-roi reduces at
-# batch 32) — each roi's x-bins then become 4 contiguous-row gathers. The
+# and W is small (stride-4 features: W=24 for 96-voxel chunks), so interval
+# maxima along the first axis can be precomputed ONCE per map — each roi's
+# x-bins then become contiguous-row gathers of (H*L*C) rows (DMA-friendly,
+# unlike the 2D corner table above whose (L*C) rows are too small). The
 # y/z reductions run on the (P, H, L, C) gathered intermediate and stay
-# masked (they are 4.5x cheaper than stage 1 combined). Unlike the range-max
-# sparse table above (64 small gathers/roi, measured slower), this gathers 4
-# LARGE rows (H*L*C contiguous) per roi — DMA-friendly. Measured on v5e:
-# 75.3 -> ~50 ms per batch-32 chunk program.
+# masked (they are 4.5x cheaper than stage 1 combined).
+#
+# Two r5 rewrites of this path were MEASURED LOSERS and reverted (profiles
+# in BENCH_NOTES "Round-5 chunk tail"):
+#
+# - sparse RMQ table, two query gathers max'd per bin: 53.8 -> 78.7 ms/iter
+#   — the second gather + explicit max break the gather->y-reduce fusion
+#   and materialize twice. ONE gather per bin is the law here.
+# - same table built from binary-doubling sparse levels (by-length rows,
+#   parallel elementwise maxes, no cummax chains): 53.8 -> 57.9 ms/iter —
+#   the 2x24-piece concatenates materialize as 2.1 ms copies per level,
+#   while the cummax build below was ALREADY cheap (fused; the two 4.2 ms
+#   ops r4 attributed to the builds are actually the query gathers, which
+#   run at ~18 GB/s and are unchanged by any build rewrite).
 # ---------------------------------------------------------------------------
 
 
@@ -284,6 +294,11 @@ def _interval_offsets(w):
     return np.concatenate(
         [[0], np.cumsum(np.arange(w, 0, -1))]
     ).astype(np.int32)
+
+
+def _interval_table_rows(w):
+    """Row count of the all-interval table for a W-wide axis."""
+    return w * (w + 1) // 2
 
 
 # all-interval table memory is W*(W+1)/2 * H*L*C; cap the element count at
@@ -323,7 +338,7 @@ def _roi_pool3d_masked(feat, rois, pooled, spatial_scale):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def _roi_pool3d_prod(feat, rois, pooled, spatial_scale):
     w, h, l, c = feat.shape
-    if w * (w + 1) // 2 * h * l * c > _INTERVAL_TABLE_MAX_ELEMS:
+    if _interval_table_rows(w) * h * l * c > _INTERVAL_TABLE_MAX_ELEMS:
         return _roi_pool3d_masked(feat, rois, pooled, spatial_scale)
     return _pool_rois_interval(feat, rois, pooled, spatial_scale)
 
