@@ -179,7 +179,7 @@ def load_bench_scenes(bench):
     frames_root = os.path.join(bench.BENCH_COLOR_DIR, "frames_square")
     cfg = clc.build_cfg(frames_root)
     cfg.MODE = "test"
-    manifest = os.path.join(bench.BENCH_COLOR_DIR, "manifest.pkl")
+    manifest = os.path.join(bench.BENCH_COLOR_DIR, "manifest_v2.pkl")
     with open(manifest, "rb") as f:
         scene_paths = pickle.load(f)
     fl = os.path.join(bench.BENCH_COLOR_DIR, "scenes.txt")

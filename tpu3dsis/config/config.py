@@ -246,6 +246,11 @@ def default_config() -> Config:
     # build) — vmapping the per-view gather materializes K full volumes in
     # HBM before the block max, costing more than the carry RMW it saves.
     c.TPU_COLOR_VIEWS_PER_STEP = 1
+    # lax.scan unroll factor for the resident-volume view scan: XLA
+    # overlaps/fuses consecutive view steps — measured 622 -> 472 ms for the
+    # 90-view 172x48x172 build on v5e at 8, bit-exact
+    # (tools/exp_volume_scan2.py); 16 measured no better than 8
+    c.TPU_COLOR_SCAN_UNROLL = 8
     # whole-scene inference mode: 'tiled' (production) or 'single_shot'
     # (reference-style one pass, for parity experiments)
     c.TPU_SCENE_MODE = "tiled"

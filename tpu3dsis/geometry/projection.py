@@ -381,6 +381,7 @@ def fuse_views(
     zero_floor=None,
     prefer_gather=False,
     views_per_step=1,
+    scan_unroll=1,
 ):
     """Max-fuse V views into one color volume (X, Y, Z, C).
 
@@ -484,10 +485,16 @@ def fuse_views(
             )
             xs = (*xs[:3], xs[3].astype(bool))
         xs = tuple(a.reshape(vpad // k, k, *a.shape[1:]) for a in xs)
-        out, _ = jax.lax.scan(body_block, init, xs)
+        out, _ = jax.lax.scan(body_block, init, xs,
+                              unroll=max(1, int(scan_unroll)))
     else:
+        # unrolling the view scan lets XLA overlap/fuse consecutive view
+        # steps (each step is value-independent except the carry max):
+        # measured 622 -> 472 ms for the 90-view 172x48x172 resident build
+        # on v5e at unroll=8, bit-exact (tools/exp_volume_scan2.py)
         out, _ = jax.lax.scan(
-            body, init, (feats2d, depths, poses, view_valid)
+            body, init, (feats2d, depths, poses, view_valid),
+            unroll=max(1, int(scan_unroll)),
         )
     out = jnp.where(jnp.isneginf(out), jnp.zeros((), out.dtype), out)
     if zero_floor is None:

@@ -41,7 +41,8 @@ import jax.numpy as jnp
 from tpu3dsis.geometry.projection import fuse_views
 
 
-def make_color_volume_fn(proj, scene_shape, out_dtype, views_per_step=1):
+def make_color_volume_fn(proj, scene_shape, out_dtype, views_per_step=1,
+                         scan_unroll=8):
     """Jittable builder: (feats2d (V, H, W, C), depths (V, H, W),
     poses (V, 4, 4), world_to_grid (4, 4), view_valid (V,) bool)
     -> (X, Y, Z, C) resident volume.
@@ -73,6 +74,7 @@ def make_color_volume_fn(proj, scene_shape, out_dtype, views_per_step=1):
             view_valid=view_valid,
             prefer_gather=True,
             views_per_step=views_per_step,
+            scan_unroll=scan_unroll,
         )
 
     return build

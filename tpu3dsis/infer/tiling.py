@@ -716,6 +716,9 @@ class SceneInference:
                         views_per_step=int(
                             getattr(self.cfg, "TPU_COLOR_VIEWS_PER_STEP", 1)
                         ),
+                        scan_unroll=int(
+                            getattr(self.cfg, "TPU_COLOR_SCAN_UNROLL", 8)
+                        ),
                     )
                 )
                 self._color_vol_fns[bucket] = build
